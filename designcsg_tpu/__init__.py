@@ -1,0 +1,23 @@
+"""designcsg_tpu — a TPU-native differentiable CSG design framework.
+
+Capabilities mirror mikeandike523/DesignCSG (code-first CAD: SDF brushes,
+hierarchical CSG scene graph compiled to a flat tape, sphere-traced viewport,
+dense-grid mesh export) re-designed for JAX/XLA/Pallas on TPU: brushes are JAX
+functions, the tape stages into fused XLA programs at trace time, rendering
+and voxel evaluation shard over device meshes, and everything is
+differentiable end-to-end.
+"""
+
+from . import api, brushes, compiler, constants, scene, transforms  # noqa: F401
+from .brushes import Brush, EvalContext, Material  # noqa: F401
+from .compiler import (  # noqa: F401
+    CompiledScene,
+    ExportConfig,
+    SceneArrays,
+    SceneCompiler,
+    load_reference_scene,
+)
+from .scene import Component, IntersectionComponent  # noqa: F401
+from .transforms import Transform  # noqa: F401
+
+__version__ = "0.1.0"
