@@ -1,0 +1,57 @@
+"""Config dataclasses.
+
+The reference scatters configuration across kernel #defines, header constants
+and the 9-line exportConfig.txt (SURVEY.md §5.6); here every knob is an
+explicit dataclass field with the reference value as default.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+from . import constants as C
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Viewport semantics of kernel k1 (k1.cl:1-12,480-580)."""
+
+    width: int = C.VIEWPORT_W
+    height: int = C.VIEWPORT_H
+    max_steps: int = C.MAX_STEPS
+    max_distance: float = C.MAX_DISTANCE
+    sdf_epsilon: float = C.SDF_EPSILON
+    normal_epsilon: float = C.NORMAL_EPSILON
+    march_tolerance: float = C.TOLERANCE_FACTOR_MARCHSTEP
+    material_tolerance: float = C.TOLERANCE_FACTOR_MATERIAL
+    ifov: float = C.IFOV
+    gizmo: bool = True  # the k1-only axis gizmo; turn off for k2 semantics
+    normal_mode: str = "fd"  # "fd" (reference parity) | "analytic"
+    background: Tuple[float, float, float] = C.BACKGROUND_RGB
+    miss_color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    # Reattach implicit-function-theorem gradients at the hit point so the
+    # render is reverse-differentiable w.r.t. scene parameters (the march
+    # itself runs under stop_gradient).  Needed for the fit harness.
+    differentiable: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class GridConfig:
+    """Dense voxel-grid evaluation for export."""
+
+    resolution: int = 256  # points per axis
+    tile_size: int = 64  # leading-axis slab size per device step
+    center: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    half_diameter: float = 10.0  # world units
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Marching-cubes extraction + refinement (reference CMS equivalents)."""
+
+    grid_level: int = 8  # 2^g cells per axis
+    refine_steps: int = 50  # reference gradientDescentSteps
+    midpoint_vertices: bool = False  # True = reference parity (edge midpoints);
+    # False = linear interpolation along edges (better starting mesh)
+    refine_step_scale: float = 1.0

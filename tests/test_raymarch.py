@@ -1,0 +1,118 @@
+"""Viewport renderer tests (k1 semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import designs
+from designcsg_tpu.camera import Camera, rotate_around_vector
+from designcsg_tpu.config import RenderConfig
+from designcsg_tpu.ops.raymarch import (
+    make_renderer,
+    ray_directions,
+    render_scene,
+    to_u8,
+)
+
+
+@pytest.fixture(scope="module")
+def design1():
+    return designs.get_design("design1")
+
+
+@pytest.fixture(scope="module")
+def design1_image(design1):
+    config = RenderConfig(width=160, height=120)
+    return np.asarray(render_scene(design1, config=config)), config
+
+
+def test_ray_directions_center_and_corners():
+    config = RenderConfig(width=640, height=480)
+    dirs = np.asarray(ray_directions(config))
+    assert dirs.shape == (480, 640, 3)
+    # Center pixel (iy=240, ix=320): uv = (0, 0)
+    np.testing.assert_allclose(dirs[240, 320], [0.0, 0.0, 1.0], atol=1e-6)
+    # Top-left (iy=0, ix=0): uv = (-1, +0.75)
+    np.testing.assert_allclose(dirs[0, 0], [-1.0, 0.75, 1.0], atol=1e-6)
+    assert dirs[..., 2].min() == dirs[..., 2].max() == 1.0
+
+
+def test_camera_initial_orbit_is_orthonormal():
+    cam = Camera.initial()
+    frame = np.stack([cam.right, cam.up, cam.forward])
+    np.testing.assert_allclose(frame @ frame.T, np.eye(3), atol=1e-5)
+    np.testing.assert_allclose(cam.position, [0.0, 0.0, -10.0])
+
+
+def test_rotate_around_vector_preserves_axis():
+    axis = np.array([0.3, 0.8, -0.5])
+    m = rotate_around_vector(axis, 0.7)
+    # Applied via the C convention v' = M^T v, the axis is invariant.
+    np.testing.assert_allclose(m.T @ axis, axis, atol=1e-6)
+
+
+def test_render_design1_statistics(design1_image):
+    img, config = design1_image
+    assert img.shape == (config.height, config.width, 3)
+    assert np.isfinite(img).all()
+    # Border is miss color (white)
+    np.testing.assert_allclose(img[0, 0], [1.0, 1.0, 1.0])
+    # Center hits the model with the headlamp material: grey, not white
+    center = img[config.height // 2, config.width // 2]
+    assert center[0] == center[1] == center[2]
+    assert 0.1 < center[0] < 0.999
+    # The green (up) gizmo arm is visible somewhere
+    u8 = np.asarray(to_u8(jnp.asarray(img)))
+    greens = (u8[..., 1] == 255) & (u8[..., 0] == 0) & (u8[..., 2] == 0)
+    assert greens.sum() > 3
+    reds = (u8[..., 0] == 255) & (u8[..., 1] == 0) & (u8[..., 2] == 0)
+    assert reds.sum() > 3
+
+
+def test_render_no_gizmo(design1):
+    config = RenderConfig(width=96, height=72, gizmo=False)
+    img = np.asarray(render_scene(design1, config=config))
+    u8 = np.asarray(to_u8(jnp.asarray(img)))
+    greens = (u8[..., 1] == 255) & (u8[..., 0] == 0) & (u8[..., 2] == 0)
+    assert greens.sum() == 0
+
+
+def test_render_is_differentiable(design1):
+    config = RenderConfig(
+        width=32, height=24, max_steps=64, normal_mode="fd", differentiable=True
+    )
+    renderer = make_renderer(design1, config)
+    cam = Camera.initial()
+    campos, rgt, upp, fwd = cam.as_arrays()
+
+    def loss(position):
+        arrays = design1.arrays.replace(position=position)
+        img = renderer(arrays, campos, rgt, upp, fwd)
+        return jnp.mean(img**2)
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(design1.arrays.position)))
+    assert np.isfinite(g).all()
+    assert np.abs(g).sum() > 0
+
+
+def test_ift_march_value_matches_while_march(design1):
+    """The differentiable (IFT-reattached) render must be value-identical to
+    the plain while-loop render."""
+    cfg = RenderConfig(width=64, height=48, max_steps=128)
+    cfg_diff = RenderConfig(
+        width=64, height=48, max_steps=128, differentiable=True
+    )
+    img = np.asarray(render_scene(design1, config=cfg))
+    img_diff = np.asarray(render_scene(design1, config=cfg_diff))
+    np.testing.assert_allclose(img, img_diff, atol=1e-6)
+
+
+def test_analytic_normals_render_close_to_fd(design1):
+    cfg_fd = RenderConfig(width=64, height=48, normal_mode="fd")
+    cfg_an = RenderConfig(width=64, height=48, normal_mode="analytic")
+    img_fd = np.asarray(render_scene(design1, config=cfg_fd))
+    img_an = np.asarray(render_scene(design1, config=cfg_an))
+    # Same pixels hit; shading differs only by normal estimation error.
+    diff = np.abs(img_fd - img_an)
+    assert np.quantile(diff, 0.99) < 0.05
