@@ -1,0 +1,196 @@
+"""Mesh-export pipeline.
+
+The reference's File->Export flow (reference:
+/root/reference/master/DesignCSG.cpp:638-790): build evaluator -> bounding-box
+autodetect (dense 256^3 scan) -> CMS surface extraction -> retopology ->
+"gradient descent" vertex projection -> STL + PLY, with a monitor thread
+rendering a stage state machine.  Here: the same stages as a pure pipeline
+with a progress callback, per-slab resume caching (the reference loses the
+whole <=30-min export on a crash — SURVEY.md §5.4), and dense tiled grid
+evaluation instead of the octree/ISV cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import hashlib
+import os
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..compiler import CompiledScene, ExportConfig
+from ..evaluator import BatchEvaluator
+from ..ops.marching_cubes import Mesh, extract_surface, refine_vertices
+from . import writers
+
+
+class ExportStage(enum.Enum):
+    """Mirrors the reference's ExportProcessState (DesignCSG.cpp:603-614)."""
+
+    NOT_RUNNING = enum.auto()
+    ESTIMATING_BOUNDING_BOX = enum.auto()
+    EXTRACTING_SURFACE = enum.auto()
+    REFINING_VERTICES = enum.auto()
+    WRITING_TRIANGLES = enum.auto()
+    FINISHED = enum.auto()
+
+
+@dataclasses.dataclass
+class ExportReport:
+    stage_seconds: dict
+    bounding_box_center: np.ndarray
+    bounding_box_half_diameter: float
+    num_vertices: int
+    num_triangles: int
+    sdf_evals: int
+    stl_path: Optional[str] = None
+    ply_path: Optional[str] = None
+
+    @property
+    def total_seconds(self) -> float:
+        return sum(self.stage_seconds.values())
+
+
+def autodetect_bounding_box(
+    evaluator: BatchEvaluator,
+    half_diameter: float,
+    resolution: int = 256,
+) -> tuple[np.ndarray, float]:
+    """Dense scan of the configured volume; keep points with
+    sdf < diameter/resolution, cubify the AABB (DesignCSG.cpp:666-712).
+
+    Reference quirks kept: the scan spans ±half_diameter/2 (it treats the
+    half-diameter as a diameter), points are offset by -cell/2, and the
+    min/max accumulators start at 0 so the box always contains the origin.
+    """
+    cell = half_diameter / resolution
+    idx = np.arange(-resolution // 2, resolution // 2, dtype=np.float64)
+    coords = -cell / 2.0 + idx * cell
+    eps = cell  # BB_EPSILON (DesignCSG.cpp:670)
+
+    mins = np.zeros(3)
+    maxs = np.zeros(3)
+    # Slab over z to bound memory.
+    slab = max(1, (1 << 22) // (resolution * resolution))
+    for z0 in range(0, resolution, slab):
+        zc = coords[z0 : z0 + slab]
+        g = np.meshgrid(coords, coords, zc, indexing="ij")
+        pts = np.stack([g[0].ravel(), g[1].ravel(), g[2].ravel()], axis=-1)
+        vals = evaluator.eval_sdf_at_points(pts)
+        interior = pts[vals < eps]
+        if interior.size:
+            mins = np.minimum(mins, interior.min(axis=0))
+            maxs = np.maximum(maxs, interior.max(axis=0))
+    center = (mins + maxs) / 2.0
+    diameter = float((maxs - mins).max())
+    return center, diameter / 2.0
+
+
+def export_mesh(
+    scene: CompiledScene,
+    export_config: Optional[ExportConfig] = None,
+    stl_path: Optional[str] = None,
+    ply_path: Optional[str] = None,
+    evaluator: Optional[BatchEvaluator] = None,
+    progress: Optional[Callable[[str, float], None]] = None,
+    resume_dir: Optional[str] = None,
+    autodetect: bool = True,
+    autodetect_resolution: int = 256,
+    slab_cells: int = 32,
+    sharded: bool = False,
+) -> tuple[Mesh, ExportReport]:
+    """Run the full export: autodetect -> extract -> refine -> write.
+
+    ``resume_dir`` caches the extracted (pre-refinement) mesh keyed by the
+    scene+config content hash; a re-run after a crash skips completed work.
+    """
+    config = export_config or scene.export_config or ExportConfig()
+    evaluator = evaluator or BatchEvaluator(scene, sharded=sharded)
+    stage_seconds: dict = {}
+    evals = 0
+
+    def _tick(stage, frac):
+        if progress is not None:
+            progress(stage, frac)
+
+    t0 = time.time()
+    if autodetect:
+        _tick(ExportStage.ESTIMATING_BOUNDING_BOX.name, 0.0)
+        center, half = autodetect_bounding_box(
+            evaluator, config.bounding_box_half_diameter, autodetect_resolution
+        )
+        evals += autodetect_resolution**3
+    else:
+        center, half = np.zeros(3), config.bounding_box_half_diameter
+    stage_seconds["bounding_box"] = time.time() - t0
+
+    resolution = 1 << config.grid_level
+    t0 = time.time()
+    _tick(ExportStage.EXTRACTING_SURFACE.name, 0.0)
+
+    cache_path = None
+    mesh = None
+    if resume_dir is not None:
+        os.makedirs(resume_dir, exist_ok=True)
+        key = hashlib.sha256()
+        key.update(np.asarray(scene.arrays.tape).tobytes())
+        key.update(np.asarray(scene.arrays.position).tobytes())
+        key.update(np.asarray(center).tobytes())
+        key.update(np.float64(half).tobytes())
+        key.update(np.int64(resolution).tobytes())
+        cache_path = os.path.join(resume_dir, f"extract_{key.hexdigest()[:16]}.npz")
+        if os.path.exists(cache_path):
+            data = np.load(cache_path)
+            mesh = Mesh(vertices=data["vertices"], faces=data["faces"])
+
+    if mesh is None:
+        mesh = extract_surface(
+            evaluator.eval_sdf_at_points,
+            center,
+            half,
+            resolution,
+            midpoint=False,
+            slab_cells=slab_cells,
+            progress=lambda s, f: _tick(ExportStage.EXTRACTING_SURFACE.name, f),
+        )
+        evals += (resolution + 1) ** 2 * (resolution + slab_cells)
+        if cache_path is not None:
+            np.savez(cache_path, vertices=mesh.vertices, faces=mesh.faces)
+    stage_seconds["extract"] = time.time() - t0
+
+    t0 = time.time()
+    _tick(ExportStage.REFINING_VERTICES.name, 0.0)
+    refined = refine_vertices(
+        mesh.vertices,
+        evaluator.eval_sdf_at_points,
+        evaluator.eval_normal_at_points,
+        steps=config.gradient_descent_steps,
+        progress=lambda s, f: _tick(ExportStage.REFINING_VERTICES.name, f),
+    )
+    mesh = Mesh(vertices=refined, faces=mesh.faces)
+    evals += config.gradient_descent_steps * mesh.num_vertices * 8
+    stage_seconds["refine"] = time.time() - t0
+
+    t0 = time.time()
+    _tick(ExportStage.WRITING_TRIANGLES.name, 0.0)
+    if stl_path is not None:
+        writers.write_stl(stl_path, mesh)
+    if ply_path is not None:
+        writers.write_ply(ply_path, mesh)
+    stage_seconds["write"] = time.time() - t0
+    _tick(ExportStage.FINISHED.name, 1.0)
+
+    report = ExportReport(
+        stage_seconds=stage_seconds,
+        bounding_box_center=center,
+        bounding_box_half_diameter=half,
+        num_vertices=mesh.num_vertices,
+        num_triangles=mesh.num_faces,
+        sdf_evals=evals,
+        stl_path=stl_path,
+        ply_path=ply_path,
+    )
+    return mesh, report

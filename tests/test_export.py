@@ -1,0 +1,120 @@
+"""Export-pipeline integration tests (writers, autodetect, resume)."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+import designs
+from designcsg_tpu.compiler import ExportConfig
+from designcsg_tpu.evaluator import BatchEvaluator
+from designcsg_tpu.export import writers
+from designcsg_tpu.export.pipeline import autodetect_bounding_box, export_mesh
+from designcsg_tpu.ops.marching_cubes import Mesh
+
+
+@pytest.fixture(scope="module")
+def design1():
+    return designs.get_design("design1")
+
+
+@pytest.fixture(scope="module")
+def exported(design1, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("export")
+    cfg = ExportConfig(
+        bounding_box_half_diameter=10.0, grid_level=5, gradient_descent_steps=5
+    )
+    mesh, report = export_mesh(
+        design1,
+        cfg,
+        stl_path=str(tmp / "d1.stl"),
+        ply_path=str(tmp / "d1.ply"),
+        autodetect_resolution=48,
+    )
+    return mesh, report, tmp
+
+
+def test_evaluator_chunking(design1):
+    ev = BatchEvaluator(design1, chunk_size=4096)
+    pts = np.random.default_rng(0).uniform(-5, 5, size=(10_000, 3)).astype(np.float32)
+    vals = ev.eval_sdf_at_points(pts)
+    assert vals.shape == (10_000,)
+    # chunk boundaries must be seamless: same values as one-shot eval
+    ev_big = BatchEvaluator(design1, chunk_size=1 << 20)
+    np.testing.assert_allclose(vals, ev_big.eval_sdf_at_points(pts), atol=1e-6)
+    normals = ev.eval_normal_at_points(pts[:100])
+    np.testing.assert_allclose(np.linalg.norm(normals, axis=-1), 1.0, atol=1e-4)
+
+
+def test_autodetect_bounding_box(design1):
+    ev = BatchEvaluator(design1)
+    center, half = autodetect_bounding_box(ev, 10.0, resolution=64)
+    # Design1 spans roughly ±3.5 world units; the scan covers ±5 (the
+    # reference treats half-diameter as diameter) and cubifies.
+    assert 3.0 < half < 5.1
+    assert np.abs(center).max() < 0.5
+
+
+def test_export_report(exported):
+    mesh, report, _ = exported
+    assert report.num_triangles == mesh.num_faces > 1000
+    assert report.num_vertices == mesh.num_vertices
+    assert mesh.signed_volume() > 50  # roughly a 7-unit-wide solid
+    assert set(report.stage_seconds) == {"bounding_box", "extract", "refine", "write"}
+
+
+def test_stl_format(exported):
+    mesh, report, tmp = exported
+    path = str(tmp / "d1.stl")
+    size = os.path.getsize(path)
+    assert size == 84 + 50 * mesh.num_faces
+    with open(path, "rb") as fl:
+        fl.read(80)
+        (n,) = struct.unpack("<I", fl.read(4))
+    assert n == mesh.num_faces
+    back = writers.read_stl(path)
+    np.testing.assert_allclose(back.triangle_soup(), mesh.triangle_soup(), atol=1e-6)
+
+
+def test_ply_roundtrip(exported):
+    mesh, report, tmp = exported
+    back = writers.read_ply(str(tmp / "d1.ply"))
+    assert back.num_faces == mesh.num_faces
+    np.testing.assert_allclose(
+        back.triangle_soup(), mesh.triangle_soup(), atol=1e-6
+    )
+
+
+def test_ply_indexed_mode(tmp_path):
+    mesh = Mesh(
+        vertices=np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], dtype=np.float32),
+        faces=np.array([[0, 1, 2]], dtype=np.int64),
+    )
+    writers.write_ply(str(tmp_path / "t.ply"), mesh, soup=False)
+    back = writers.read_ply(str(tmp_path / "t.ply"))
+    assert back.num_vertices == 3
+    np.testing.assert_allclose(back.vertices, mesh.vertices)
+
+
+def test_resume_cache(design1, tmp_path):
+    cfg = ExportConfig(
+        bounding_box_half_diameter=10.0, grid_level=4, gradient_descent_steps=2
+    )
+    calls = []
+
+    def progress(stage, frac):
+        calls.append(stage)
+
+    mesh1, r1 = export_mesh(
+        design1, cfg, resume_dir=str(tmp_path), autodetect_resolution=32,
+        progress=progress,
+    )
+    # Second run hits the extract cache: identical mesh, faster extract.
+    mesh2, r2 = export_mesh(
+        design1, cfg, resume_dir=str(tmp_path), autodetect_resolution=32
+    )
+    np.testing.assert_allclose(mesh1.vertices, mesh2.vertices, atol=1e-6)
+    assert any(c.startswith("EXTRACTING") for c in calls)
+    cache_files = [f for f in os.listdir(tmp_path) if f.startswith("extract_")]
+    assert len(cache_files) == 1
