@@ -34,6 +34,10 @@ class RenderConfig:
     # render is reverse-differentiable w.r.t. scene parameters (the march
     # itself runs under stop_gradient).  Needed for the fit harness.
     differentiable: bool = False
+    # >0 enables soft-silhouette compositing (differentiable object
+    # boundaries): near-miss rays fade in over this SDF bandwidth.  Interior
+    # pixel values are unchanged; only boundary pixels and gradients differ.
+    soft_silhouette_bandwidth: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

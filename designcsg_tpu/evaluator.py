@@ -41,7 +41,7 @@ class BatchEvaluator:
         sdf = make_primary_sdf(scene, gizmo=gizmo)
         normal = make_normal_fn(sdf, mode=normal_mode)
         if sharded:
-            from .parallel.evalshard import shard_pointwise
+            from .parallel.render import shard_pointwise
 
             sdf = shard_pointwise(sdf)
             normal = shard_pointwise(normal)

@@ -72,34 +72,43 @@ def make_march(scene: CompiledScene, config: RenderConfig):
     max_d = config.max_distance
     max_steps = config.max_steps
 
-    def march(origins, dirs, arrays: SceneArrays):
+    def march(origins, dirs, arrays: SceneArrays, return_closest: bool = False):
         # origins/dirs already projected into the camera frame.
         batch = dirs.shape[:-1]
         v0 = jnp.broadcast_to(origins, dirs.shape).astype(dirs.dtype)
         d0 = jnp.zeros(batch, dtype=dirs.dtype)
         hit0 = jnp.zeros(batch, dtype=bool)
         miss0 = jnp.zeros(batch, dtype=bool)
+        smin0 = jnp.full(batch, MAX_DISTANCE, dtype=dirs.dtype)
+        vmin0 = v0
 
         def cond(state):
-            step, _, _, hit, miss = state
+            step, _, _, hit, miss, _, _ = state
             return jnp.logical_and(step < max_steps, ~jnp.all(hit | miss))
 
         def body(state):
-            step, v, d, hit, miss = state
+            step, v, d, hit, miss, smin, vmin = state
             active = ~(hit | miss)
             s = sdf(v, arrays) * tol
+            if return_closest:
+                closer = jnp.logical_and(active, s < smin)
+                smin = jnp.where(closer, s, smin)
+                vmin = jnp.where(closer[..., None], v, vmin)
             new_hit = jnp.logical_and(active, s < eps)
             advance = jnp.logical_and(active, ~new_hit)
             v = jnp.where(advance[..., None], v + s[..., None] * dirs, v)
             d = jnp.where(advance, d + s, d)
             new_miss = jnp.logical_and(advance, d > max_d)
-            return step + 1, v, d, hit | new_hit, miss | new_miss
+            return step + 1, v, d, hit | new_hit, miss | new_miss, smin, vmin
 
-        _, v, d, hit, miss = jax.lax.while_loop(
-            cond, body, (jnp.asarray(0), v0, d0, hit0, miss0)
+        _, v, d, hit, miss, smin, vmin = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0), v0, d0, hit0, miss0, smin0, vmin0)
         )
         # Rays still active after max_steps are misses (k1.cl:469).
-        return jnp.where(hit, d, -1.0)
+        d_out = jnp.where(hit, d, -1.0)
+        if return_closest:
+            return d_out, vmin
+        return d_out
 
     return march
 
@@ -197,13 +206,13 @@ def make_shade(scene: CompiledScene, config: RenderConfig):
     return shade
 
 
-def make_renderer(scene: CompiledScene, config: Optional[RenderConfig] = None):
-    """Build the full viewport render:
-    ``render(arrays, campos, rgt, upp, fwd) -> f32[H, W, 3]`` linear RGB.
-
-    Differentiable w.r.t. ``arrays`` (and the camera); wrap with
-    :func:`to_u8` for the reference's byte pixels.
-    """
+def make_ray_renderer(scene: CompiledScene, config: Optional[RenderConfig] = None):
+    """Build the ray-level core:
+    ``render_rays(arrays, o_proj, r_proj, rgt, upp, fwd) -> f32[..., 3]``
+    where ``o_proj``/``r_proj`` are camera-frame-projected origin and ray
+    directions of any batch shape.  This is the unit the sharded renderer
+    maps over ray blocks (rays are embarrassingly parallel; the scene is
+    replicated)."""
     if config is None:
         config = RenderConfig()
     march = (
@@ -215,6 +224,94 @@ def make_renderer(scene: CompiledScene, config: Optional[RenderConfig] = None):
     normal_fn = make_normal_fn(sdf, mode=config.normal_mode, epsilon=config.normal_epsilon)
     shade = make_shade(scene, config)
 
+    soft_bw = config.soft_silhouette_bandwidth
+    plain_march = make_march(scene, config) if soft_bw > 0 else None
+    sg = jax.lax.stop_gradient
+
+    def render_rays(arrays: SceneArrays, o_proj, r_proj, rgt, upp, fwd):
+        d = march(o_proj, r_proj, arrays)
+        hit = d > 0.0
+        p = o_proj + d[..., None] * r_proj
+        ctx = EvalContext(ad=arrays.ad, rgt=rgt, upp=upp, fwd=fwd)
+        miss_color = jnp.asarray(config.miss_color, dtype=p.dtype)
+        if soft_bw <= 0:
+            n = normal_fn(p, arrays)
+            color = shade(p, n, arrays, ctx)
+            return jnp.where(hit[..., None], color, miss_color)
+        # Soft silhouette: a hard hit mask kills boundary gradients (which
+        # pixels hit an object is a discrete event), so translation/scale fits
+        # stall.  Track each ray's closest approach (under stop_gradient),
+        # re-evaluate the SDF there differentiably, and composite with
+        # sigma = sigmoid((eps - s_min)/bw).  By the envelope theorem the
+        # gradient w.r.t. the frozen closest point vanishes at the minimum, so
+        # reattaching only through the SDF value is first-order exact.
+        # Interior pixels keep their exact hard value (sigma enters as a
+        # zero-value gradient carrier); near-miss pixels shade at the closest
+        # approach and fade with sigma.
+        _, vmin = plain_march(
+            sg(o_proj),
+            sg(r_proj),
+            jax.tree_util.tree_map(sg, arrays),
+            return_closest=True,
+        )
+        vmin = sg(vmin)
+        p_used = jnp.where(hit[..., None], p, vmin)
+        n = normal_fn(p_used, arrays)
+        color = shade(p_used, n, arrays, ctx)
+        s_min = sdf(vmin, arrays)
+        sigma = jax.nn.sigmoid((config.sdf_epsilon - s_min) / soft_bw)
+        alpha = jnp.where(hit, 1.0 + (sigma - sg(sigma)), sigma)
+        return alpha[..., None] * color + (1.0 - alpha[..., None]) * miss_color
+
+    return render_rays
+
+
+def make_geometry_renderer(scene: CompiledScene, config: Optional[RenderConfig] = None):
+    """Depth + soft-silhouette renderer for the differentiable fit:
+    ``render_geom(arrays, o_proj, r_proj) -> (depth, alpha)``.
+
+    Depth carries exact interior gradients (IFT march) and is continuous
+    across CSG union creases, so its autodiff gradient is correct to first
+    order everywhere a hard RGB render is not (shading jumps at creases and
+    material boundaries are boundary-integral terms invisible to autodiff —
+    the classic differentiable-rendering edge problem).  Alpha is the
+    closest-approach soft silhouette, carrying the boundary gradients.
+    Together they make pixel-loss shape fitting well-posed without edge
+    sampling."""
+    if config is None:
+        config = RenderConfig(differentiable=True, soft_silhouette_bandwidth=0.02)
+    march_ift = make_differentiable_march(scene, config)
+    plain_march = make_march(scene, config)
+    sdf = make_primary_sdf(scene, gizmo=config.gizmo)
+    bw = config.soft_silhouette_bandwidth or 0.02
+    sg = jax.lax.stop_gradient
+
+    def render_geom(arrays: SceneArrays, o_proj, r_proj):
+        d = march_ift(o_proj, r_proj, arrays)
+        _, vmin = plain_march(
+            sg(o_proj),
+            sg(r_proj),
+            jax.tree_util.tree_map(sg, arrays),
+            return_closest=True,
+        )
+        s_min = sdf(sg(vmin), arrays)
+        alpha = jax.nn.sigmoid((config.sdf_epsilon - s_min) / bw)
+        return d, alpha
+
+    return render_geom
+
+
+def make_renderer(scene: CompiledScene, config: Optional[RenderConfig] = None):
+    """Build the full viewport render:
+    ``render(arrays, campos, rgt, upp, fwd) -> f32[H, W, 3]`` linear RGB.
+
+    Differentiable w.r.t. ``arrays`` (and the camera); wrap with
+    :func:`to_u8` for the reference's byte pixels.
+    """
+    if config is None:
+        config = RenderConfig()
+    render_rays = make_ray_renderer(scene, config)
+
     def render(arrays: SceneArrays, campos, rgt, upp, fwd):
         campos = jnp.asarray(campos, dtype=jnp.float32)
         rgt = jnp.asarray(rgt, dtype=jnp.float32)
@@ -223,14 +320,7 @@ def make_renderer(scene: CompiledScene, config: Optional[RenderConfig] = None):
         dirs = ray_directions(config)
         o_proj = _project(campos, rgt, upp, fwd)
         r_proj = _project(dirs, rgt, upp, fwd)
-        d = march(o_proj, r_proj, arrays)
-        hit = d > 0.0
-        p = o_proj + d[..., None] * r_proj
-        n = normal_fn(p, arrays)
-        ctx = EvalContext(ad=arrays.ad, rgt=rgt, upp=upp, fwd=fwd)
-        color = shade(p, n, arrays, ctx)
-        miss = jnp.asarray(config.miss_color, dtype=color.dtype)
-        return jnp.where(hit[..., None], color, miss)
+        return render_rays(arrays, o_proj, r_proj, rgt, upp, fwd)
 
     return render
 

@@ -1,0 +1,94 @@
+"""Sharded rendering and point evaluation (SPMD over the ray/voxel axis).
+
+``shard_map`` splits the pixel rows (or point batch) across the mesh; each
+device runs the full masked march on its block with the scene replicated —
+the TPU equivalent of the reference's one-thread-per-pixel NDRange
+(DrawPane.cpp:174) stretched across chips.  No communication happens during
+the march: rays are independent; the only collective in the whole render is
+the implicit gather when the caller assembles the image.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..compiler import CompiledScene, SceneArrays
+from ..config import RenderConfig
+from ..ops.raymarch import _project, make_ray_renderer, ray_directions
+from .mesh import RAY_AXIS, make_mesh
+
+
+def make_sharded_renderer(
+    scene: CompiledScene,
+    config: Optional[RenderConfig] = None,
+    mesh: Optional[Mesh] = None,
+):
+    """``render(arrays, campos, rgt, upp, fwd) -> f32[H, W, 3]`` with image
+    rows sharded over the mesh.  H must divide by the mesh size (640x480 on
+    1/2/4/8/16 devices all work)."""
+    if config is None:
+        config = RenderConfig()
+    if mesh is None:
+        mesh = make_mesh()
+    render_rays = make_ray_renderer(scene, config)
+    axis = mesh.axis_names[0]
+
+    def _block(arrays, o_proj, dirs_block, rgt, upp, fwd):
+        return render_rays(arrays, o_proj, dirs_block, rgt, upp, fwd)
+
+    sharded = jax.shard_map(
+        _block,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(), P(), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+
+    def render(arrays: SceneArrays, campos, rgt, upp, fwd):
+        campos = jnp.asarray(campos, dtype=jnp.float32)
+        rgt = jnp.asarray(rgt, dtype=jnp.float32)
+        upp = jnp.asarray(upp, dtype=jnp.float32)
+        fwd = jnp.asarray(fwd, dtype=jnp.float32)
+        dirs = ray_directions(config)
+        o_proj = _project(campos, rgt, upp, fwd)
+        r_proj = _project(dirs, rgt, upp, fwd)
+        return sharded(arrays, o_proj, r_proj, rgt, upp, fwd)
+
+    return render
+
+
+def shard_pointwise(fn, mesh: Optional[Mesh] = None):
+    """Wrap a pointwise evaluator ``fn(points, arrays) -> values`` so the
+    leading point axis shards over the mesh (the voxel-tile export path).
+    The wrapped function pads to the mesh size internally."""
+    if mesh is None:
+        mesh = make_mesh()
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+
+    def _block(points, arrays):
+        return fn(points, arrays)
+
+    sharded = jax.shard_map(
+        _block,
+        mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+
+    def wrapped(points, arrays):
+        total = points.shape[0]
+        pad = (-total) % n
+        if pad:
+            points = jnp.concatenate(
+                [points, jnp.zeros((pad,) + points.shape[1:], points.dtype)]
+            )
+        out = sharded(points, arrays)
+        return out[:total] if pad else out
+
+    return wrapped

@@ -1,0 +1,140 @@
+"""SPMD tests on the 8-device virtual CPU mesh (same code runs on a pod
+slice; conftest forces --xla_force_host_platform_device_count=8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import designs
+from designcsg_tpu.camera import Camera
+from designcsg_tpu.config import RenderConfig
+from designcsg_tpu.evaluator import BatchEvaluator
+from designcsg_tpu.ops.interpreter import make_primary_sdf
+from designcsg_tpu.ops.raymarch import make_renderer
+from designcsg_tpu.parallel.fit import (
+    load_checkpoint,
+    make_fit_harness,
+    save_checkpoint,
+)
+from designcsg_tpu.parallel.mesh import make_mesh
+from designcsg_tpu.parallel.render import make_sharded_renderer, shard_pointwise
+
+
+@pytest.fixture(scope="module")
+def design1():
+    return designs.get_design("design1")
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_render_matches_single_device(design1):
+    config = RenderConfig(width=64, height=48, max_steps=96)
+    cam = Camera.initial()
+    campos, rgt, upp, fwd = cam.as_arrays()
+    single = np.asarray(
+        jax.jit(make_renderer(design1, config))(design1.arrays, campos, rgt, upp, fwd)
+    )
+    mesh = make_mesh()
+    sharded = np.asarray(
+        jax.jit(make_sharded_renderer(design1, config, mesh))(
+            design1.arrays, campos, rgt, upp, fwd
+        )
+    )
+    np.testing.assert_allclose(single, sharded, atol=1e-6)
+
+
+def test_shard_pointwise_matches_and_pads(design1):
+    sdf = make_primary_sdf(design1)
+    sharded = jax.jit(shard_pointwise(sdf))
+    rng = np.random.default_rng(0)
+    # deliberately not divisible by 8
+    pts = jnp.asarray(rng.uniform(-5, 5, size=(1003, 3)), dtype=jnp.float32)
+    arrays = jax.tree_util.tree_map(jnp.asarray, design1.arrays)
+    np.testing.assert_allclose(
+        np.asarray(sharded(pts, arrays)),
+        np.asarray(sdf(pts, arrays)),
+        atol=1e-6,
+    )
+
+
+def test_sharded_evaluator(design1):
+    ev = BatchEvaluator(design1, chunk_size=2048, sharded=True)
+    ev_ref = BatchEvaluator(design1, chunk_size=2048)
+    pts = np.random.default_rng(1).uniform(-5, 5, size=(5000, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        ev.eval_sdf_at_points(pts), ev_ref.eval_sdf_at_points(pts), atol=1e-6
+    )
+
+
+def test_fit_recovers_translation(design1, tmp_path):
+    """End-to-end differentiable fit: perturb one object's position, recover
+    it from pixel loss.  Pixels shard over the 8-device mesh; gradients
+    all-reduce."""
+    config = RenderConfig(
+        width=64,
+        height=48,
+        max_steps=128,
+        differentiable=True,
+        soft_silhouette_bandwidth=0.02,
+        gizmo=False,
+    )
+    cam = Camera.initial()
+    campos, rgt, upp, fwd = cam.as_arrays()
+
+    harness = make_fit_harness(design1, config)
+    true_position = jnp.asarray(design1.arrays.position)
+    target = harness.render_target(design1.arrays, campos, rgt, upp, fwd)
+
+    # Perturb the sphere (object row 1) along x.
+    start = np.asarray(true_position).copy()
+    start[1, 0] += 0.6
+    state = harness.init({"position": jnp.asarray(start)})
+
+    loss0 = float(harness.loss_fn(state.params, target, campos, rgt, upp, fwd))
+    for _ in range(100):
+        state, loss = harness.step_fn(state, target, campos, rgt, upp, fwd)
+    loss_end = float(loss)
+    assert loss_end < loss0 * 0.1, (loss0, loss_end)
+    err0 = 0.6
+    err_end = float(jnp.abs(state.params["position"][1] - true_position[1]).max())
+    assert err_end < 0.1, (err0, err_end)
+
+    # checkpoint roundtrip
+    ckpt = tmp_path / "fit.ckpt"
+    save_checkpoint(str(ckpt), state)
+    restored = load_checkpoint(str(ckpt))
+    np.testing.assert_allclose(
+        np.asarray(restored.params["position"]),
+        np.asarray(state.params["position"]),
+    )
+    s2, loss2 = harness.step_fn(
+        harness.init(restored.params)._replace(opt_state=restored.opt_state),
+        target,
+        campos,
+        rgt,
+        upp,
+        fwd,
+    )
+    assert np.isfinite(float(loss2))
+
+
+def test_fit_gradients_are_synchronized(design1):
+    """The psum layout: gradients computed from sharded pixels must be
+    replicated (identical) across devices."""
+    config = RenderConfig(width=32, height=24, max_steps=48, differentiable=True)
+    harness = make_fit_harness(design1, config, loss="rgb")
+    cam = Camera.initial()
+    campos, rgt, upp, fwd = cam.as_arrays()
+    target = harness.shard_target(jnp.zeros((24, 32, 3), jnp.float32))
+    state = harness.init({"position": jnp.asarray(design1.arrays.position)})
+    new_state, loss = harness.step_fn(state, target, campos, rgt, upp, fwd)
+    # Replicated output sharding means one logical value; just check sanity.
+    assert np.isfinite(float(loss))
+    g = np.asarray(new_state.params["position"]) - np.asarray(
+        state.params["position"]
+    )
+    assert np.abs(g).sum() > 0
