@@ -1,0 +1,17 @@
+"""Pallas TPU kernels — the hot compute paths.
+
+The jnp interpreter (ops/interpreter.py) is the general, autodiff-complete
+path; these kernels are the speed-of-light path for the two hot loops
+(SURVEY.md §3.2/§3.5): the fused sphere-trace march and dense voxel SDF
+evaluation.  They consume the same CompiledScene; scenes whose brushes lack a
+registered component-wise kernel implementation fall back to jnp
+transparently (``supports_scene``).
+"""
+
+from .brushes_kernel import (  # noqa: F401
+    kernel_brushes_for_scene,
+    register_kernel_brush,
+    supports_scene,
+)
+from .sdf_kernel import make_grid_eval, make_pallas_point_eval  # noqa: F401
+from .march_kernel import make_pallas_renderer  # noqa: F401

@@ -1,0 +1,226 @@
+"""Fused Pallas sphere-trace render kernel (the k1 hot loop).
+
+One kernel instance renders an (8, 128) pixel tile end-to-end: ray setup from
+the tile's grid position, the full masked march loop, FD normals, the
+material-attribution scan, gizmo and background rules — all on VMEM/register
+planes with zero HBM traffic until the final RGB write.  Two structural wins
+over the jnp while_loop renderer:
+
+* no per-step HBM round-trips for the march state;
+* *per-tile* early exit — a background tile stops after its own ~40 steps
+  instead of riding along for the worst pixel in the whole image (the jnp
+  global loop's cond is a full-image all()).
+
+Reference semantics: k1.cl:420-470 (march), 381-418 (normal), 280-379
+(shade), 480-580 (pixel setup).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...brushes import EvalContext
+from ...compiler import CompiledScene, SceneArrays
+from ...config import RenderConfig
+from ...constants import AXES_SHADE_RADIUS, INITIAL_SCALE
+from .brushes_kernel import kernel_brushes_for_scene, kernel_materials_for_scene
+from .sdf_kernel import _bank_inputs, _bank_specs
+from .tape import make_component_tape, smem_bank_reader
+
+TILE_H = 8
+TILE_W = 128
+
+
+def make_pallas_renderer(
+    scene: CompiledScene,
+    config: Optional[RenderConfig] = None,
+    interpret: bool = False,
+):
+    """``render(arrays, campos, rgt, upp, fwd) -> f32[H, W, 3]`` — drop-in
+    replacement for ops.raymarch.make_renderer's forward (non-differentiable)
+    path, fused into one kernel launch."""
+    if config is None:
+        config = RenderConfig()
+    assert config.width % TILE_W == 0 and config.height % TILE_H == 0, (
+        f"viewport {config.width}x{config.height} must tile by "
+        f"{TILE_W}x{TILE_H}"
+    )
+    tape_eval = make_component_tape(scene, gizmo=config.gizmo)
+    kbrushes = kernel_brushes_for_scene(scene)
+    kmaterials = kernel_materials_for_scene(scene)
+    shape_id = [int(s) for s in np.asarray(scene.arrays.shape_id)]
+    material_id = [int(m) for m in np.asarray(scene.arrays.material_id)]
+    n_objects = len(shape_id)
+
+    eps = config.sdf_epsilon
+    tol = config.march_tolerance
+    max_d = config.max_distance
+    max_steps = config.max_steps
+    n_eps = config.normal_epsilon
+    mat_thresh = config.sdf_epsilon * config.material_tolerance
+    w2 = config.width / 2.0
+    h2 = config.height / 2.0
+    ifov = config.ifov
+    miss_color = config.miss_color
+    background = config.background
+
+    def kernel(cam_ref, pos_ref, right_ref, up_ref, fwd_ref, ad_ref, r_out, g_out, b_out):
+        bank = smem_bank_reader(pos_ref, right_ref, up_ref, fwd_ref)
+        rgt = (cam_ref[1, 0], cam_ref[1, 1], cam_ref[1, 2])
+        upp = (cam_ref[2, 0], cam_ref[2, 1], cam_ref[2, 2])
+        fwd = (cam_ref[3, 0], cam_ref[3, 1], cam_ref[3, 2])
+        ctx = EvalContext(ad=ad_ref, rgt=rgt, upp=upp, fwd=fwd)
+
+        def sdf(x, y, z):
+            return tape_eval(x, y, z, bank, ctx)
+
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        iy = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0) + i * TILE_H)
+        ix = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + j * TILE_W)
+        uvx = (ix.astype(jnp.float32) - w2) / w2
+        uvy = -(iy.astype(jnp.float32) - h2) / w2
+        # ray = (uv.x, uv.y, IFOV) projected onto the frame (k1.cl:506-528);
+        # NOT normalized (reference quirk).
+        rx = uvx * rgt[0] + uvy * rgt[1] + ifov * rgt[2]
+        ry = uvx * upp[0] + uvy * upp[1] + ifov * upp[2]
+        rz = uvx * fwd[0] + uvy * fwd[1] + ifov * fwd[2]
+        ox, oy, oz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+
+        shape = (TILE_H, TILE_W)
+        vx0 = jnp.full(shape, ox)
+        vy0 = jnp.full(shape, oy)
+        vz0 = jnp.full(shape, oz)
+        d0 = jnp.zeros(shape, jnp.float32)
+        hit0 = jnp.zeros(shape, bool)
+        miss0 = jnp.zeros(shape, bool)
+
+        def cond(state):
+            step, _, _, _, _, hit, miss = state
+            return jnp.logical_and(step < max_steps, ~jnp.all(hit | miss))
+
+        def body(state):
+            step, vx, vy, vz, d, hit, miss = state
+            active = ~(hit | miss)
+            s = sdf(vx, vy, vz) * tol
+            new_hit = jnp.logical_and(active, s < eps)
+            advance = jnp.logical_and(active, ~new_hit)
+            vx = jnp.where(advance, vx + s * rx, vx)
+            vy = jnp.where(advance, vy + s * ry, vy)
+            vz = jnp.where(advance, vz + s * rz, vz)
+            d = jnp.where(advance, d + s, d)
+            new_miss = jnp.logical_and(advance, d > max_d)
+            return step + 1, vx, vy, vz, d, hit | new_hit, miss | new_miss
+
+        _, vx, vy, vz, d, hit, miss = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), vx0, vy0, vz0, d0, hit0, miss0)
+        )
+        shaded = jnp.logical_and(hit, d > 0.0)
+
+        # hit point p = o_proj + d * r_proj (k1.cl:554)
+        px = ox + d * rx
+        py = oy + d * ry
+        pz = oz + d * rz
+
+        # FD normal, 6 tape evals (k1.cl:381-418)
+        gx = sdf(px + n_eps, py, pz) - sdf(px - n_eps, py, pz)
+        gy = sdf(px, py + n_eps, pz) - sdf(px, py - n_eps, pz)
+        gz = sdf(px, py, pz + n_eps) - sdf(px, py, pz - n_eps)
+        inv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-30)
+        nx, ny, nz = gx * inv, gy * inv, gz * inv
+
+        # Material attribution: last object within threshold (k1.cl:302-327)
+        match = jnp.full(shape, -1, jnp.int32)
+        lx = jnp.zeros(shape, jnp.float32)
+        ly = jnp.zeros(shape, jnp.float32)
+        lz = jnp.zeros(shape, jnp.float32)
+        for obj in range(n_objects):
+            (o3, r3, u3, f3) = bank(obj)
+            dx, dy, dz = px - o3[0], py - o3[1], pz - o3[2]
+            a = dx * r3[0] + dy * r3[1] + dz * r3[2]
+            b = dx * u3[0] + dy * u3[1] + dz * u3[2]
+            c = dx * f3[0] + dy * f3[1] + dz * f3[2]
+            s = kbrushes[shape_id[obj]](a, b, c, ctx)
+            is_match = s < mat_thresh
+            match = jnp.where(is_match, obj, match)
+            lx = jnp.where(is_match, a, lx)
+            ly = jnp.where(is_match, b, ly)
+            lz = jnp.where(is_match, c, lz)
+
+        cr = jnp.zeros(shape, jnp.float32)
+        cg = jnp.zeros(shape, jnp.float32)
+        cb = jnp.zeros(shape, jnp.float32)
+        used = sorted(set(material_id))
+        for m in used:
+            mr, mg, mb = kmaterials[m](px, py, pz, lx, ly, lz, nx, ny, nz, ctx)
+            sel = jnp.zeros(shape, bool)
+            for obj in range(n_objects):
+                if material_id[obj] == m:
+                    sel = jnp.logical_or(sel, match == obj)
+            cr = jnp.where(sel, mr, cr)
+            cg = jnp.where(sel, mg, cg)
+            cb = jnp.where(sel, mb, cb)
+
+        # Unmatched hit pixels: gizmo colors then background (k1.cl:331-377)
+        sx, sy, sz = px / INITIAL_SCALE, py / INITIAL_SCALE, pz / INITIAL_SCALE
+
+        def cyl(r2, h):
+            return jnp.maximum(jnp.abs(h) - 0.5, jnp.sqrt(r2) - AXES_SHADE_RADIUS)
+
+        no_match = match < 0
+        ur = jnp.full(shape, background[0])
+        ug = jnp.full(shape, background[1])
+        ub = jnp.full(shape, background[2])
+        for (g, rgb) in (
+            (cyl(sx * sx + sy * sy, sz - 0.5), (0.0, 0.0, 1.0)),
+            (cyl(sx * sx + sz * sz, sy - 0.5), (0.0, 1.0, 0.0)),
+            (cyl(sy * sy + sz * sz, sx - 0.5), (1.0, 0.0, 0.0)),
+        ):
+            on = g < mat_thresh
+            ur = jnp.where(on, rgb[0], ur)
+            ug = jnp.where(on, rgb[1], ug)
+            ub = jnp.where(on, rgb[2], ub)
+        cr = jnp.where(no_match, ur, cr)
+        cg = jnp.where(no_match, ug, cg)
+        cb = jnp.where(no_match, ub, cb)
+
+        r_out[:] = jnp.where(shaded, cr, miss_color[0])
+        g_out[:] = jnp.where(shaded, cg, miss_color[1])
+        b_out[:] = jnp.where(shaded, cb, miss_color[2])
+
+    grid = (config.height // TILE_H, config.width // TILE_W)
+    tile = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((config.height, config.width), jnp.float32)
+
+    @jax.jit
+    def render(arrays: SceneArrays, campos, rgt, upp, fwd):
+        campos = jnp.asarray(campos, jnp.float32)
+        rgt = jnp.asarray(rgt, jnp.float32)
+        upp = jnp.asarray(upp, jnp.float32)
+        fwd = jnp.asarray(fwd, jnp.float32)
+        o_proj = jnp.stack(
+            [
+                jnp.sum(campos * rgt),
+                jnp.sum(campos * upp),
+                jnp.sum(campos * fwd),
+            ]
+        )
+        cam = jnp.stack([o_proj, rgt, upp, fwd])  # [4, 3] SMEM scalars
+        r, g, b = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + _bank_specs(),
+            out_specs=(tile, tile, tile),
+            out_shape=(out_shape, out_shape, out_shape),
+            interpret=interpret,
+        )(cam, *_bank_inputs(arrays))
+        return jnp.stack([r, g, b], axis=-1)
+
+    return render

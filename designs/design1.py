@@ -27,6 +27,21 @@ def _box_fn(v, ctx):
     return jnp.maximum(jnp.maximum(v[..., 0] - 0.5, v[..., 1] - 0.5), v[..., 2] - 0.5)
 
 
+from designcsg_tpu.ops.pallas.brushes_kernel import register_kernel_brush
+
+
+@register_kernel_brush(_sphere_fn)
+def _sphere_kernel(a, b, c, ctx):
+    return jnp.sqrt(a * a + b * b + c * c) - 0.5
+
+
+@register_kernel_brush(_box_fn)
+def _box_kernel(a, b, c, ctx):
+    return jnp.maximum(
+        jnp.abs(a) - 0.5, jnp.maximum(jnp.abs(b) - 0.5, jnp.abs(c) - 0.5)
+    )
+
+
 def build(compiler=None):
     c = api.new_design() if compiler is None else compiler
     PI = np.pi

@@ -137,6 +137,79 @@ def _base_brush_fn(v, ctx):
     return jnp.maximum(d, jnp.abs(y) - height)
 
 
+from designcsg_tpu.ops.pallas.brushes_kernel import register_kernel_brush
+
+
+def _box3(x, y, z, cx, cy, cz, hx, hy, hz):
+    qx = jnp.abs(x - cx) - hx
+    qy = jnp.abs(y - cy) - hy
+    qz = jnp.abs(z - cz) - hz
+    return jnp.maximum(qx, jnp.maximum(qy, qz))
+
+
+def _cell_raw3(x, y, z):
+    w = LINE_WIDTH
+    d = _box3(x, y, z, -0.5, -0.5, 0.0, w, w, 0.5 + w)
+    d = jnp.minimum(d, _box3(x, y, z, 0.5, -0.5, 0.0, w, w, 0.5 + w))
+    d = jnp.minimum(d, _box3(x, y, z, 0.0, -0.5, -0.5, 0.5 + w, w, w))
+    d = jnp.minimum(d, _box3(x, y, z, -0.5, 0.5, 0.0, w, w, 0.5 + w))
+    d = jnp.minimum(d, _box3(x, y, z, 0.5, 0.5, 0.0, w, w, 0.5 + w))
+    d = jnp.minimum(d, _box3(x, y, z, 0.0, 0.5, -0.5, 0.5 + w, w, w))
+    d = jnp.minimum(d, _box3(x, y, z, 0.5, 0.0, 0.5, w, 0.5 + w, w))
+    return d
+
+
+@register_kernel_brush(_hilbert_brush_fn)
+def _hilbert_kernel(x, y, z, ctx):
+    m = jnp.full_like(x, MAX_DISTANCE)
+    for i in (-1, 1):
+        for j in (-1, 1):
+            for k in (-1, 1):
+                q = _QUADRANT_MATRICES[(i + 1) * 9 + (j + 1) * 3 + (k + 1)]
+                wx = 3.0 * (x - i / 3.0)
+                wy = 3.0 * (y - j / 3.0)
+                wz = 3.0 * (z - k / 3.0)
+                a = q[0, 0] * wx + q[0, 1] * wy + q[0, 2] * wz
+                b = q[1, 0] * wx + q[1, 1] * wy + q[1, 2] * wz
+                c = q[2, 0] * wx + q[2, 1] * wy + q[2, 2] * wz
+                # the two swizzles compose to (a,b,c) -> (c, -a, -b)
+                m = jnp.minimum(m, _cell_raw3(c, -a, -b))
+    # connectors
+    specs = [
+        (0, -1, 1, 0, 1, 1, DIRECTION_X),
+        (1, 0, -1, 1, 0, -1, DIRECTION_Y),
+        (-1, 0, -1, -1, 0, -1, DIRECTION_Y),
+        (1, 0, 1, 1, 0, 1, DIRECTION_Y),
+        (-1, 0, 1, -1, 0, 1, DIRECTION_Y),
+        (1, 1, 0, 1, -1, 0, DIRECTION_Z),
+        (-1, 1, 0, -1, -1, 0, DIRECTION_Z),
+    ]
+    w = LINE_WIDTH
+    for (li, lj, lk, i, j, k, direction) in specs:
+        cx = (li + i / 2.0) / 3.0
+        cy = (lj + j / 2.0) / 3.0
+        cz = (lk + k / 2.0) / 3.0
+        half = [w, w, w]
+        half[direction] = 0.5 + w
+        m = jnp.minimum(
+            m,
+            _box3(
+                3.0 * (x - cx), 3.0 * (y - cy), 3.0 * (z - cz),
+                0.0, 0.0, 0.0, half[0], half[1], half[2],
+            ),
+        )
+    return m
+
+
+@register_kernel_brush(_base_brush_fn)
+def _base_kernel(x, y, z, ctx):
+    outer, inner, height = 0.5, 0.45, 0.05
+    r = jnp.sqrt(x * x + z * z)
+    new_radius = inner + (outer - inner) * (1.0 - y / height)
+    d = jnp.where(y > 0, r - new_radius, r - outer)
+    return jnp.maximum(d, jnp.abs(y) - height)
+
+
 def build(compiler=None):
     c = api.new_design() if compiler is None else compiler
 

@@ -1,0 +1,109 @@
+"""Pallas kernel tests (interpret mode on CPU; the same kernels compile via
+Mosaic on TPU — bench.py exercises that path on hardware)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import designs
+from designcsg_tpu.camera import Camera
+from designcsg_tpu.config import RenderConfig
+from designcsg_tpu.ops.interpreter import as_device_arrays, make_primary_sdf
+from designcsg_tpu.ops.pallas import supports_scene
+from designcsg_tpu.ops.pallas.march_kernel import make_pallas_renderer
+from designcsg_tpu.ops.pallas.sdf_kernel import (
+    make_grid_eval,
+    make_pallas_point_eval,
+)
+from designcsg_tpu.ops.raymarch import make_renderer
+
+
+@pytest.fixture(scope="module")
+def design1():
+    return designs.get_design("design1")
+
+
+@pytest.fixture(scope="module")
+def design2():
+    return designs.get_design("design2")
+
+
+def test_supports_scene(design1, design2):
+    assert supports_scene(design1)
+    assert supports_scene(design2)
+
+
+def test_unsupported_brush_falls_out():
+    from designcsg_tpu import api
+
+    c = api.new_design()
+    custom = c.define_brush(lambda v, ctx: jnp.sum(v, axis=-1), name="custom")
+    api.draw(custom, api.Transform.identity(), compiler=c)
+    scene = c.commit()
+    assert not supports_scene(scene)
+    with pytest.raises(KeyError):
+        make_pallas_point_eval(scene, interpret=True)
+
+
+@pytest.mark.parametrize("name", ["design1", "design2"])
+def test_point_eval_matches_jnp(name, request):
+    scene = request.getfixturevalue(name)
+    arrays = as_device_arrays(scene.arrays)
+    pe = make_pallas_point_eval(scene, interpret=True)
+    rng = np.random.default_rng(0)
+    # Not a tile multiple: exercises padding
+    pts = jnp.asarray(rng.uniform(-6, 6, size=(5000, 3)), dtype=jnp.float32)
+    ours = np.asarray(pe(pts, arrays))
+    ref = np.asarray(make_primary_sdf(scene)(pts, arrays))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_point_eval_gizmo(design1):
+    arrays = as_device_arrays(design1.arrays)
+    pe = make_pallas_point_eval(design1, gizmo=True, interpret=True)
+    pts = jnp.asarray([[4.9, 0.0, 0.0]], dtype=jnp.float32)
+    ref = np.asarray(make_primary_sdf(design1, gizmo=True)(pts, arrays))
+    np.testing.assert_allclose(np.asarray(pe(pts, arrays)), ref, atol=1e-5)
+
+
+def test_grid_eval_matches_jnp(design1):
+    arrays = as_device_arrays(design1.arrays)
+    ge = make_grid_eval(design1, interpret=True)
+    res, slab = 128, 2
+    lo = jnp.asarray([-4.0, -4.0, -4.0], jnp.float32)
+    cell = jnp.float32(8.0 / res)
+    out = np.asarray(ge(arrays, lo, cell, jnp.float32(3.0), slab, res))
+    assert out.shape == (slab, res, res)
+    sdf = make_primary_sdf(design1)
+    zi, yi, xi = np.meshgrid(
+        np.arange(slab), np.arange(res), np.arange(res), indexing="ij"
+    )
+    pts = np.stack(
+        [
+            -4.0 + 8.0 / res * xi,
+            -4.0 + 8.0 / res * yi,
+            -4.0 + 8.0 / res * (zi + 3.0),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    ref = np.asarray(sdf(jnp.asarray(pts.reshape(-1, 3)), arrays)).reshape(out.shape)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_march_kernel_matches_jnp_renderer(design1):
+    arrays = as_device_arrays(design1.arrays)
+    config = RenderConfig(width=128, height=32, max_steps=128)
+    campos, rgt, upp, fwd = (jnp.asarray(a) for a in Camera.initial().as_arrays())
+    ref = np.asarray(
+        jax.jit(make_renderer(design1, config))(arrays, campos, rgt, upp, fwd)
+    )
+    ours = np.asarray(
+        make_pallas_renderer(design1, config, interpret=True)(
+            arrays, campos, rgt, upp, fwd
+        )
+    )
+    # March step accumulation is reassociated; a handful of boundary pixels
+    # may attribute differently.  Overall images must agree closely.
+    assert np.abs(ours - ref).max() < 1e-3
+    assert (np.abs(ours - ref) > 1e-4).mean() < 0.01
