@@ -1,0 +1,102 @@
+"""Headline benchmark (driver contract: prints ONE JSON line).
+
+Primary metric: sphere-trace throughput in rays/s on one chip for the
+Design1 640x480 viewport (the reference's interactive workload,
+k1.cl:480-580), measured with the fused Pallas march kernel, timed by
+chaining REPS dependent frames inside a single jit dispatch (the axon relay
+makes per-call host timing unreliable).
+
+vs_baseline: the reference app free-runs its 640x480 OpenCL viewport on a
+"GTX/RTX-class" GPU (README.md:18-32, no published numbers); a 30 FPS
+assumption gives 640*480*30 = 9.216 Mrays/s as the comparison point.
+
+Secondary numbers (512^3 voxel SDF evals/s, export wall-clock) print to
+stderr for the record.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main():
+    import designs
+    from designcsg_tpu.camera import Camera
+    from designcsg_tpu.config import RenderConfig
+    from designcsg_tpu.ops.interpreter import as_device_arrays
+    from designcsg_tpu.ops.pallas.march_kernel import make_pallas_renderer
+    from designcsg_tpu.ops.pallas.sdf_kernel import make_grid_eval
+
+    log("devices:", jax.devices())
+    scene = designs.get_design("design1")
+    arrays = as_device_arrays(scene.arrays)
+    config = RenderConfig()
+    render = make_pallas_renderer(scene, config)
+    campos, rgt, upp, fwd = (jnp.asarray(a) for a in Camera.initial().as_arrays())
+
+    REPS = 20
+
+    @jax.jit
+    def frames(arrays, campos):
+        def body(i, acc):
+            # camera depends on i and acc: forces REPS serialized renders
+            img = render(arrays, campos + acc * 1e-20 + i * 1e-6, rgt, upp, fwd)
+            return acc + img.mean()
+
+        return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
+
+    jax.block_until_ready(frames(arrays, campos))  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        jax.block_until_ready(frames(arrays, campos))
+        best = min(best, (time.time() - t0) / REPS)
+    rays_per_s = config.width * config.height / best
+    log(f"march: {best*1e3:.3f} ms/frame -> {rays_per_s/1e6:.1f} Mrays/s")
+
+    # Secondary: dense 512^3 voxel SDF evaluation (the export engine).
+    try:
+        ge = make_grid_eval(scene)
+        lo = jnp.asarray([-4.0, -4.0, -4.0], jnp.float32)
+        cell = jnp.float32(8.0 / 512)
+
+        @jax.jit
+        def grid(arrays):
+            def body(i, acc):
+                out = ge(arrays, lo + acc * 1e-20, cell, i * 64.0, 64, 512)
+                return acc + out[0, 0, 0]
+
+            return jax.lax.fori_loop(0, 8, body, jnp.float32(0.0))
+
+        jax.block_until_ready(grid(arrays))
+        t0 = time.time()
+        jax.block_until_ready(grid(arrays))
+        dt = time.time() - t0
+        log(f"grid 512^3: {dt*1e3:.1f} ms -> {512**3/dt/1e6:.0f} Mevals/s")
+    except Exception as e:  # secondary metric must not sink the bench
+        log("grid eval failed:", e)
+
+    baseline_rays_per_s = 640 * 480 * 30.0  # reference viewport @ 30 FPS
+    print(
+        json.dumps(
+            {
+                "metric": "design1_sphere_trace_rays_per_s_chip",
+                "value": round(rays_per_s),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_s / baseline_rays_per_s, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

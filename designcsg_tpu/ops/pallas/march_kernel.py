@@ -95,33 +95,49 @@ def make_pallas_renderer(
         ox, oy, oz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
 
         shape = (TILE_H, TILE_W)
-        vx0 = jnp.full(shape, ox)
-        vy0 = jnp.full(shape, oy)
-        vz0 = jnp.full(shape, oz)
-        d0 = jnp.zeros(shape, jnp.float32)
-        hit0 = jnp.zeros(shape, bool)
-        miss0 = jnp.zeros(shape, bool)
+        # Derive initial carries from the iota-based ray arrays: a plain
+        # broadcast of an SMEM scalar has a *replicated* vector layout, and
+        # Mosaic cannot relayout a while-loop carry that becomes concrete
+        # inside the loop ("Invalid relayout ... replicated in destination").
+        zero = rx * 0.0
+        vx0 = zero + ox
+        vy0 = zero + oy
+        vz0 = zero + oz
+        # Masks are f32 0/1 — Mosaic cannot carry i1 vectors through
+        # scf.while ("failed to legalize scf.yield").
+        d0 = zero
+        hit0 = zero
+        miss0 = zero
 
         def cond(state):
             step, _, _, _, _, hit, miss = state
-            return jnp.logical_and(step < max_steps, ~jnp.all(hit | miss))
+            return jnp.logical_and(step < max_steps, jnp.min(hit + miss) < 0.5)
 
         def body(state):
             step, vx, vy, vz, d, hit, miss = state
-            active = ~(hit | miss)
+            active = (1.0 - hit) * (1.0 - miss)
             s = sdf(vx, vy, vz) * tol
-            new_hit = jnp.logical_and(active, s < eps)
-            advance = jnp.logical_and(active, ~new_hit)
-            vx = jnp.where(advance, vx + s * rx, vx)
-            vy = jnp.where(advance, vy + s * ry, vy)
-            vz = jnp.where(advance, vz + s * rz, vz)
-            d = jnp.where(advance, d + s, d)
-            new_miss = jnp.logical_and(advance, d > max_d)
-            return step + 1, vx, vy, vz, d, hit | new_hit, miss | new_miss
+            new_hit = active * jnp.where(s < eps, 1.0, 0.0)
+            advance = active * (1.0 - new_hit)
+            vx = vx + advance * s * rx
+            vy = vy + advance * s * ry
+            vz = vz + advance * s * rz
+            d = d + advance * s
+            new_miss = advance * jnp.where(d > max_d, 1.0, 0.0)
+            return (
+                step + 1,
+                vx,
+                vy,
+                vz,
+                d,
+                jnp.maximum(hit, new_hit),
+                jnp.maximum(miss, new_miss),
+            )
 
-        _, vx, vy, vz, d, hit, miss = jax.lax.while_loop(
+        _, vx, vy, vz, d, hit_f, miss_f = jax.lax.while_loop(
             cond, body, (jnp.int32(0), vx0, vy0, vz0, d0, hit0, miss0)
         )
+        hit = hit_f > 0.5
         shaded = jnp.logical_and(hit, d > 0.0)
 
         # hit point p = o_proj + d * r_proj (k1.cl:554)
