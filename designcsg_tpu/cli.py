@@ -1,0 +1,247 @@
+"""Command-line interface.
+
+The reference is a desktop app whose menu drives everything
+(File->Run/Export, reference DesignCSG.cpp:113-124); the framework exposes
+those capabilities as subcommands::
+
+    python -m designcsg_tpu.cli render design1 -o out.png
+    python -m designcsg_tpu.cli render path/to/mydesign.py --orbit -0.785 0.785
+    python -m designcsg_tpu.cli export design2 --stl out.stl --ply out.ply
+    python -m designcsg_tpu.cli artifacts design1 -d build/   # reference IR
+    python -m designcsg_tpu.cli fit design1 -o fitdir/        # demo fit
+    python -m designcsg_tpu.cli bench
+
+A design is either a builtin name (design1 | design2 | logo) or a path to a
+Python design script: the script either defines ``build() -> CompiledScene``
+or calls the module-level API (``new_design() ... commit()``) at import time.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import os
+import sys
+import time
+
+
+def load_design(spec: str):
+    """Resolve a design spec (builtin name or script path) to a CompiledScene."""
+    import designs as _designs
+
+    if spec.lower() in ("design1", "design2", "logo"):
+        return _designs.get_design(spec)
+    if not os.path.exists(spec):
+        raise FileNotFoundError(f"design {spec!r}: not a builtin name or a file")
+    module_name = os.path.splitext(os.path.basename(spec))[0]
+    sys.path.insert(0, os.path.dirname(os.path.abspath(spec)) or ".")
+    spec_obj = importlib.util.spec_from_file_location(module_name, spec)
+    module = importlib.util.module_from_spec(spec_obj)
+    from designcsg_tpu import api
+
+    api.new_design()
+    spec_obj.loader.exec_module(module)
+    if hasattr(module, "build"):
+        return module.build()
+    # Script-style design: it drew into the current compiler.  If it already
+    # called commit() we recommit (idempotent — the tree is intact).
+    return api.commit()
+
+
+def _camera(args):
+    from designcsg_tpu.camera import Camera
+
+    cam = Camera.initial(apply_default_orbit=not getattr(args, "no_default_orbit", False))
+    if getattr(args, "orbit", None):
+        cam.orbit(args.orbit[0], args.orbit[1])
+    if getattr(args, "zoom", 0.0):
+        cam.zoom(args.zoom)
+    return cam
+
+
+def cmd_render(args):
+    import numpy as np
+
+    from designcsg_tpu.config import RenderConfig
+    from designcsg_tpu.ops.raymarch import render_scene, to_u8
+
+    scene = load_design(args.design)
+    config = RenderConfig(
+        width=args.width, height=args.height, gizmo=not args.no_gizmo
+    )
+    cam = _camera(args)
+    t0 = time.time()
+    use_pallas = args.backend == "pallas"
+    if use_pallas:
+        import jax
+        import jax.numpy as jnp
+
+        from designcsg_tpu.ops.interpreter import as_device_arrays
+        from designcsg_tpu.ops.pallas import make_pallas_renderer, supports_scene
+
+        if not supports_scene(scene):
+            print("scene has unregistered kernel brushes; falling back to jnp")
+            use_pallas = False
+        else:
+            render = make_pallas_renderer(scene, config)
+            campos, rgt, upp, fwd = (jnp.asarray(a) for a in cam.as_arrays())
+            img = render(as_device_arrays(scene.arrays), campos, rgt, upp, fwd)
+    if not use_pallas:
+        img = render_scene(scene, camera=cam, config=config)
+    u8 = np.asarray(to_u8(img))
+    print(f"rendered {config.width}x{config.height} in {time.time()-t0:.2f}s")
+    from PIL import Image
+
+    Image.fromarray(u8).save(args.output)
+    print(f"wrote {args.output}")
+
+
+def cmd_export(args):
+    from designcsg_tpu.export.pipeline import export_mesh
+
+    scene = load_design(args.design)
+    config = scene.export_config
+    if args.grid_level is not None:
+        import dataclasses
+
+        from designcsg_tpu.compiler import ExportConfig
+
+        config = dataclasses.replace(
+            config or ExportConfig(), grid_level=args.grid_level
+        )
+    stl = args.stl or (os.path.splitext(args.design)[0].replace("/", "_") + ".stl")
+
+    def progress(stage, frac):
+        print(f"\r{stage:<28s} {frac*100:5.1f}%", end="", flush=True)
+
+    t0 = time.time()
+    mesh, report = export_mesh(
+        scene,
+        config,
+        stl_path=stl,
+        ply_path=args.ply,
+        progress=progress,
+        resume_dir=args.resume_dir,
+    )
+    print()
+    print(
+        f"exported {report.num_triangles} triangles "
+        f"({report.num_vertices} vertices) in {time.time()-t0:.1f}s"
+    )
+    for stage, secs in report.stage_seconds.items():
+        print(f"  {stage:<14s} {secs:7.2f}s")
+    print(f"wrote {stl}" + (f" and {args.ply}" if args.ply else ""))
+
+
+def cmd_artifacts(args):
+    from designcsg_tpu import api
+
+    # Builds through the script path so the compiler instance is available.
+    if args.design.lower() in ("design1", "design2", "logo"):
+        import designs as _designs
+
+        c = api.new_design()
+        module = importlib.import_module(f"designs.{args.design.lower()}")
+        module.build(compiler=c)
+    else:
+        load_design(args.design)
+        c = api.current()
+    os.makedirs(args.directory, exist_ok=True)
+    c.write_artifacts(args.directory)
+    print(f"wrote scene.txt / buildprocedure.txt / arbitrary_data.hex to {args.directory}")
+
+
+def cmd_fit(args):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from designcsg_tpu.config import RenderConfig
+    from designcsg_tpu.parallel.fit import make_fit_harness, save_checkpoint
+
+    scene = load_design(args.design)
+    config = RenderConfig(
+        width=args.width,
+        height=args.height,
+        max_steps=128,
+        differentiable=True,
+        soft_silhouette_bandwidth=0.02,
+        gizmo=False,
+    )
+    cam = _camera(args)
+    campos, rgt, upp, fwd = cam.as_arrays()
+    harness = make_fit_harness(scene, config)
+    target = harness.render_target(scene.arrays, campos, rgt, upp, fwd)
+
+    rng = np.random.default_rng(args.seed)
+    start = np.asarray(scene.arrays.position).copy()
+    start[1:] += rng.normal(scale=args.perturb, size=start[1:].shape)
+    state = harness.init({"position": jnp.asarray(start)})
+    print(f"fitting {args.steps} steps on {harness.mesh.devices.size if harness.mesh else 1} device(s)")
+    for i in range(args.steps):
+        state, loss = harness.step_fn(state, target, campos, rgt, upp, fwd)
+        if (i + 1) % max(1, args.steps // 10) == 0:
+            err = float(
+                jnp.abs(state.params["position"] - scene.arrays.position).max()
+            )
+            print(f"step {i+1:4d}  loss {float(loss):.3e}  max pos err {err:.4f}")
+    os.makedirs(args.output, exist_ok=True)
+    save_checkpoint(os.path.join(args.output, "fit.ckpt"), state)
+    print(f"wrote {args.output}/fit.ckpt")
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="designcsg_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("render", help="sphere-trace a design to a PNG")
+    p.add_argument("design")
+    p.add_argument("-o", "--output", default="render.png")
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--orbit", type=float, nargs=2, metavar=("DA", "DB"))
+    p.add_argument("--zoom", type=float, default=0.0)
+    p.add_argument("--no-gizmo", action="store_true")
+    p.add_argument("--no-default-orbit", action="store_true")
+    p.add_argument("--backend", choices=["jnp", "pallas"], default="jnp")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("export", help="mesh-export a design (STL/PLY)")
+    p.add_argument("design")
+    p.add_argument("--stl")
+    p.add_argument("--ply")
+    p.add_argument("--grid-level", type=int)
+    p.add_argument("--resume-dir")
+    p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("artifacts", help="emit reference-format IR files")
+    p.add_argument("design")
+    p.add_argument("-d", "--directory", default=".")
+    p.set_defaults(fn=cmd_artifacts)
+
+    p = sub.add_parser("fit", help="differentiable shape-fit demo")
+    p.add_argument("design")
+    p.add_argument("-o", "--output", default="fit_out")
+    p.add_argument("--steps", type=int, default=150)
+    p.add_argument("--width", type=int, default=64)
+    p.add_argument("--height", type=int, default=48)
+    p.add_argument("--perturb", type=float, default=0.3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--orbit", type=float, nargs=2)
+    p.add_argument("--zoom", type=float, default=0.0)
+    p.set_defaults(fn=cmd_fit)
+
+    p = sub.add_parser("bench", help="run the headline benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -34,20 +34,40 @@ class BatchEvaluator:
         gizmo: bool = False,
         normal_mode: str = "fd",
         sharded: bool = False,
+        use_pallas: Optional[bool] = None,
     ):
         self.scene = scene
         self.arrays = arrays if arrays is not None else scene.arrays
         self.chunk_size = int(chunk_size)
-        sdf = make_primary_sdf(scene, gizmo=gizmo)
-        normal = make_normal_fn(sdf, mode=normal_mode)
-        if sharded:
-            from .parallel.render import shard_pointwise
+        if use_pallas is None:
+            # Pallas kernels need a TPU backend and kernel-twin brushes.
+            from .ops.pallas import supports_scene
 
-            sdf = shard_pointwise(sdf)
-            normal = shard_pointwise(normal)
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and not sharded
+                and supports_scene(scene)
+            )
+        self.use_pallas = bool(use_pallas)
+        if self.use_pallas:
+            from .ops.pallas import make_pallas_point_eval
+
+            sdf = make_pallas_point_eval(scene, gizmo=gizmo)
+            normal = make_normal_fn(sdf, mode="fd")
+        else:
+            sdf = make_primary_sdf(scene, gizmo=gizmo)
+            normal = make_normal_fn(sdf, mode=normal_mode)
+            if sharded:
+                from .parallel.render import shard_pointwise
+
+                sdf = shard_pointwise(sdf)
+                normal = shard_pointwise(normal)
+        self._sdf_raw = sdf
+        self._normal_raw = normal
         self._sdf = jax.jit(sdf)
         self._normal = jax.jit(normal)
         self._device_arrays = jax.tree_util.tree_map(jnp.asarray, self.arrays)
+        self._refine_cache = {}
 
     def set_arrays(self, arrays: SceneArrays):
         """Swap scene parameters (the reference's setArbitraryData path,
@@ -82,3 +102,31 @@ class BatchEvaluator:
     def eval_normal_at_points(self, points: np.ndarray) -> np.ndarray:
         """f32[N, 3] -> f32[N, 3] (Evaluator.cpp:167-211 semantics)."""
         return self._run_chunked(self._normal, points, 3)
+
+    def refine_on_device(
+        self, vertices: np.ndarray, steps: int, step_scale: float = 1.0
+    ) -> np.ndarray:
+        """Run the whole Newton-projection loop ``p <- p - n(p)*sdf(p)`` in
+        one device program (the reference round-trips every step through the
+        chunked evaluator, mesh.hpp:540-590; one fori_loop transfer-free loop
+        replaces steps*2 host<->device exchanges)."""
+        v = np.asarray(vertices, dtype=np.float32)
+        n = v.shape[0]
+        pad_to = max(32768, 1 << int(np.ceil(np.log2(max(n, 1)))))
+        key = (pad_to, int(steps), float(step_scale))
+        if key not in self._refine_cache:
+            sdf_fn, normal_fn = self._sdf_raw, self._normal_raw
+
+            @jax.jit
+            def run(verts, arrays):
+                def body(_, p):
+                    s = sdf_fn(p, arrays)
+                    nrm = normal_fn(p, arrays)
+                    return p - step_scale * nrm * s[:, None]
+
+                return jax.lax.fori_loop(0, steps, body, verts)
+
+            self._refine_cache[key] = run
+        padded = np.pad(v, ((0, pad_to - n), (0, 0)))
+        out = self._refine_cache[key](jnp.asarray(padded), self._device_arrays)
+        return np.asarray(out)[:n]

@@ -54,6 +54,75 @@ class ExportReport:
         return sum(self.stage_seconds.values())
 
 
+def autodetect_bounding_box_device(
+    evaluator: BatchEvaluator,
+    half_diameter: float,
+    resolution: int = 256,
+) -> tuple[np.ndarray, float]:
+    """On-device bounding-box autodetect: the Pallas grid kernel evaluates
+    the scan lattice and masked coordinate min/max reductions run in the same
+    jit — only 6 floats ever reach the host (the host-point path streams
+    16.7M points through the tunnel).  Same semantics/quirks as
+    :func:`autodetect_bounding_box`."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pallas import make_grid_eval
+
+    res = int(resolution)
+    cell = half_diameter / res
+    lo = -cell / 2.0 - (res // 2) * cell
+    eps = cell
+    slab = max(1, min(64, res))
+    ge = make_grid_eval(evaluator.scene)
+    big = jnp.float32(1e9)
+
+    # Per-slab program, looped from Python: wrapping the pallas call +
+    # reductions in a lax.fori_loop produced multi-minute remote compiles.
+    # NB: constants built during tracing must be numpy, not jnp — a committed
+    # device array captured as an MLIR constant forces a device->host pull at
+    # lowering, which stalls for minutes through the axon relay.
+    lo3 = np.asarray([lo, lo, lo], np.float32)
+    cell32 = np.float32(cell)
+
+    @jax.jit
+    def slab_minmax(arrays, z0f):
+        vals = ge(arrays, lo3, cell32, z0f, slab, res)
+        zi = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 0)
+        yi = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
+        xi = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 2)
+        x = lo + cell * xi.astype(jnp.float32)
+        y = lo + cell * yi.astype(jnp.float32)
+        z = lo + cell * (zi.astype(jnp.float32) + z0f)
+        mask = vals < eps
+        mins = jnp.stack(
+            [
+                jnp.where(mask, x, big).min(),
+                jnp.where(mask, y, big).min(),
+                jnp.where(mask, z, big).min(),
+            ]
+        )
+        maxs = jnp.stack(
+            [
+                jnp.where(mask, x, -big).max(),
+                jnp.where(mask, y, -big).max(),
+                jnp.where(mask, z, -big).max(),
+            ]
+        )
+        return mins, maxs
+
+    # init at 0: the reference's accumulators start at 0 (DesignCSG.cpp:688-693)
+    mins = np.zeros(3)
+    maxs = np.zeros(3)
+    for z0 in range(0, res, slab):
+        m, M = slab_minmax(evaluator._device_arrays, np.float32(z0))
+        mins = np.minimum(mins, np.asarray(m, np.float64))
+        maxs = np.maximum(maxs, np.asarray(M, np.float64))
+    center = (mins + maxs) / 2.0
+    diameter = float((maxs - mins).max())
+    return center, diameter / 2.0
+
+
 def autodetect_bounding_box(
     evaluator: BatchEvaluator,
     half_diameter: float,
@@ -119,7 +188,12 @@ def export_mesh(
     t0 = time.time()
     if autodetect:
         _tick(ExportStage.ESTIMATING_BOUNDING_BOX.name, 0.0)
-        center, half = autodetect_bounding_box(
+        detect = (
+            autodetect_bounding_box_device
+            if getattr(evaluator, "use_pallas", False)
+            else autodetect_bounding_box
+        )
+        center, half = detect(
             evaluator, config.bounding_box_half_diameter, autodetect_resolution
         )
         evals += autodetect_resolution**3
@@ -147,6 +221,28 @@ def export_mesh(
             mesh = Mesh(vertices=data["vertices"], faces=data["faces"])
 
     if mesh is None:
+        corner_provider = None
+        if getattr(evaluator, "use_pallas", False):
+            # Zero-host-point fast path: the Pallas grid kernel synthesizes
+            # coordinates in-register; only corner values cross HBM/host.
+            from ..ops.pallas import make_grid_eval
+
+            grid_kernel = make_grid_eval(evaluator.scene)
+            lo = np.asarray(center, np.float64) - half
+            cell = 2.0 * half / resolution
+
+            def corner_provider(z0, sz):
+                return np.asarray(
+                    grid_kernel(
+                        evaluator._device_arrays,
+                        np.asarray(lo, np.float32),
+                        np.float32(cell),
+                        np.float32(z0),
+                        sz + 1,
+                        resolution + 1,
+                    )
+                )
+
         mesh = extract_surface(
             evaluator.eval_sdf_at_points,
             center,
@@ -155,6 +251,7 @@ def export_mesh(
             midpoint=False,
             slab_cells=slab_cells,
             progress=lambda s, f: _tick(ExportStage.EXTRACTING_SURFACE.name, f),
+            corner_provider=corner_provider,
         )
         evals += (resolution + 1) ** 2 * (resolution + slab_cells)
         if cache_path is not None:
@@ -163,13 +260,10 @@ def export_mesh(
 
     t0 = time.time()
     _tick(ExportStage.REFINING_VERTICES.name, 0.0)
-    refined = refine_vertices(
-        mesh.vertices,
-        evaluator.eval_sdf_at_points,
-        evaluator.eval_normal_at_points,
-        steps=config.gradient_descent_steps,
-        progress=lambda s, f: _tick(ExportStage.REFINING_VERTICES.name, f),
+    refined = evaluator.refine_on_device(
+        mesh.vertices, steps=config.gradient_descent_steps
     )
+    _tick(ExportStage.REFINING_VERTICES.name, 1.0)
     mesh = Mesh(vertices=refined, faces=mesh.faces)
     evals += config.gradient_descent_steps * mesh.num_vertices * 8
     stage_seconds["refine"] = time.time() - t0

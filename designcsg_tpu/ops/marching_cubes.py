@@ -295,6 +295,8 @@ def extract_surface(
     midpoint: bool = False,
     slab_cells: int = 32,
     progress: Optional[Callable[[str, float], None]] = None,
+    corner_provider: Optional[Callable[[int, int], np.ndarray]] = None,
+    use_native: Optional[bool] = None,
 ) -> Mesh:
     """March a ``resolution^3`` cell grid over the box ``center ± half_diameter``.
 
@@ -303,7 +305,15 @@ def extract_surface(
     evaluated at a time; corner planes shared between slabs are re-evaluated
     (cheap) so slabs are independent — which also makes the loop trivially
     resumable and distributable.
+
+    ``corner_provider(z0, sz) -> f32[sz+1, res+1, res+1]`` overrides the
+    point-based evaluation — the Pallas grid kernel synthesizes coordinates
+    on-device, so no host point buffers exist at all on that path.
     """
+    from .. import native
+
+    if use_native is None:
+        use_native = native.available()
     center = np.asarray(center, dtype=np.float64)
     res = int(resolution)
     r1 = res + 1
@@ -320,15 +330,23 @@ def extract_surface(
     z0 = 0
     while z0 < res:
         sz = min(slab_cells, res - z0)
-        zz = zs[z0 : z0 + sz + 1]
-        grid = np.stack(
-            np.meshgrid(zz, ys, xs, indexing="ij"), axis=-1
-        )  # [sz+1, r1, r1, 3] in (z, y, x) order
-        pts = np.stack(
-            [grid[..., 2], grid[..., 1], grid[..., 0]], axis=-1
-        ).reshape(-1, 3)
-        vals = np.asarray(sdf_eval(pts.astype(np.float32))).reshape(sz + 1, r1, r1)
-        keys, pos = _slab_triangles(vals, z0, res, midpoint)
+        if corner_provider is not None:
+            vals = np.asarray(corner_provider(z0, sz))
+        else:
+            zz = zs[z0 : z0 + sz + 1]
+            grid = np.stack(
+                np.meshgrid(zz, ys, xs, indexing="ij"), axis=-1
+            )  # [sz+1, r1, r1, 3] in (z, y, x) order
+            pts = np.stack(
+                [grid[..., 2], grid[..., 1], grid[..., 0]], axis=-1
+            ).reshape(-1, 3)
+            vals = np.asarray(sdf_eval(pts.astype(np.float32))).reshape(
+                sz + 1, r1, r1
+            )
+        if use_native:
+            keys, pos = native.mc_slab(vals, z0, midpoint)
+        else:
+            keys, pos = _slab_triangles(vals, z0, res, midpoint)
         if keys.shape[0]:
             all_keys.append(keys.reshape(-1))
             all_pos.append(pos.reshape(-1, 3))
@@ -341,7 +359,12 @@ def extract_surface(
 
     keys = np.concatenate(all_keys)
     pos = np.concatenate(all_pos)
-    uniq, first_idx, inverse = np.unique(keys, return_index=True, return_inverse=True)
+    if use_native:
+        _, inverse, first_idx = native.weld(keys)
+    else:
+        _, first_idx, inverse = np.unique(
+            keys, return_index=True, return_inverse=True
+        )
     vertices_grid = pos[first_idx]
     vertices = (lo[None, :] + cell * vertices_grid).astype(np.float32)
     faces = inverse.reshape(-1, 3)

@@ -110,19 +110,19 @@ def make_grid_eval(
     """
     tape_eval = make_component_tape(scene, gizmo=gizmo)
 
-    def kernel(scalars_ref, pos_ref, right_ref, up_ref, fwd_ref, ad_ref, out_ref, *, res):
+    def kernel(scalars_ref, pos_ref, right_ref, up_ref, fwd_ref, ad_ref, out_ref, *, ny):
         # scalars: [lox, loy, loz, cell, z0]
         lox = scalars_ref[0]
         loy = scalars_ref[1]
         loz = scalars_ref[2]
         cell = scalars_ref[3]
         z0 = scalars_ref[4]
-        i = pl.program_id(0)  # row-block index over (slab*res) rows
-        j = pl.program_id(1)  # col-block index over res cols
+        i = pl.program_id(0)  # row-block index over (slab*ny) rows
+        j = pl.program_id(1)  # col-block index over nx cols
         rows = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0) + i * SUB
         cols = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1) + j * LANE
-        zi = rows // res
-        yi = rows % res
+        zi = rows // ny
+        yi = rows % ny
         x = lox + cell * cols.astype(jnp.float32)
         y = loy + cell * yi.astype(jnp.float32)
         z = loz + cell * (z0 + zi.astype(jnp.float32))
@@ -130,12 +130,18 @@ def make_grid_eval(
         ctx = EvalContext(ad=ad_ref)
         out_ref[:] = tape_eval(x, y, z, bank, ctx)
 
-    @functools.partial(jax.jit, static_argnames=("slab", "resolution"))
-    def grid_eval(arrays: SceneArrays, lo, cell, z0, slab: int, resolution: int):
-        res = int(resolution)
-        assert res % LANE == 0, f"resolution must be a multiple of {LANE}"
-        total_rows = slab * res
-        assert total_rows % SUB == 0, f"slab*res must be a multiple of {SUB}"
+    @functools.partial(jax.jit, static_argnames=("slab", "ny", "nx"))
+    def grid_eval(
+        arrays: SceneArrays, lo, cell, z0, slab: int, ny: int, nx: Optional[int] = None
+    ):
+        """SDF at the (slab, ny, nx) lattice ``lo + cell*(x, y, z0+z)``.
+        ny/nx need not be tile-aligned; padding rows/cols are evaluated and
+        sliced off."""
+        if nx is None:
+            nx = ny
+        nx_pad = -(-nx // LANE) * LANE
+        total_rows = slab * ny
+        rows_pad = -(-total_rows // SUB) * SUB
         scalars = jnp.concatenate(
             [
                 jnp.asarray(lo, jnp.float32).reshape(3),
@@ -144,15 +150,15 @@ def make_grid_eval(
             ]
         )
         out = pl.pallas_call(
-            functools.partial(kernel, res=res),
-            grid=(total_rows // SUB, res // LANE),
+            functools.partial(kernel, ny=ny),
+            grid=(rows_pad // SUB, nx_pad // LANE),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + _bank_specs(),
             out_specs=pl.BlockSpec(
                 (SUB, LANE), lambda i, j: (i, j), memory_space=pltpu.VMEM
             ),
-            out_shape=jax.ShapeDtypeStruct((total_rows, res), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((rows_pad, nx_pad), jnp.float32),
             interpret=interpret,
         )(scalars, *_bank_inputs(arrays))
-        return out.reshape(slab, res, res)
+        return out[:total_rows, :nx].reshape(slab, ny, nx)
 
     return grid_eval

@@ -187,7 +187,7 @@ def make_shade(scene: CompiledScene, config: RenderConfig):
         gy = axes_cylinder_sdf(jnp.sqrt(x * x + z * z), y - 0.5, 0.5, AXES_SHADE_RADIUS)
         gz = axes_cylinder_sdf(jnp.sqrt(x * x + y * y), z - 0.5, 0.5, AXES_SHADE_RADIUS)
         background = jnp.broadcast_to(
-            jnp.asarray(config.background, dtype=p.dtype), batch + (3,)
+            np.asarray(config.background, dtype=np.float32), batch + (3,)
         )
         unmatched = background
         # Priority: x, then y, then z (first hit returns in the reference).
@@ -198,7 +198,7 @@ def make_shade(scene: CompiledScene, config: RenderConfig):
         ):
             unmatched = jnp.where(
                 (g < thresh)[..., None],
-                jnp.asarray(rgb, dtype=p.dtype),
+                np.asarray(rgb, dtype=np.float32),
                 unmatched,
             )
         return jnp.where((match >= 0)[..., None], color, unmatched)
@@ -233,7 +233,7 @@ def make_ray_renderer(scene: CompiledScene, config: Optional[RenderConfig] = Non
         hit = d > 0.0
         p = o_proj + d[..., None] * r_proj
         ctx = EvalContext(ad=arrays.ad, rgt=rgt, upp=upp, fwd=fwd)
-        miss_color = jnp.asarray(config.miss_color, dtype=p.dtype)
+        miss_color = np.asarray(config.miss_color, dtype=np.float32)
         if soft_bw <= 0:
             n = normal_fn(p, arrays)
             color = shade(p, n, arrays, ctx)
