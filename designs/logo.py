@@ -1,0 +1,257 @@
+"""Logo — extruded TrueType letters ("CSG") on three cube faces.
+
+Port of the reference's arbitrary-data showcase
+(reference: /root/reference/master/Designs/Logo.py): glyph outlines are
+extracted with fontTools as quadratic Bezier segments, per-letter
+inside/outside bitmasks are packed 16-bits-per-float into the arbitrary-data
+array, and the brush evaluates curve distance + sign-from-bitmask *reading
+everything from ctx.ad* — exercising the AD path end-to-end (and making the
+outlines differentiable parameters, which the reference cannot).
+
+The reference ships CourierPrime-Bold; this port defaults to matplotlib's
+DejaVuSansMono-Bold (same capability, no dependency on the read-only
+reference mount) and accepts any TTF path.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from designcsg_tpu import api
+from designcsg_tpu.api import Transform
+from designcsg_tpu.constants import MAX_DISTANCE
+
+LETTER_RESOLUTION = 64
+SUBSEGMENTS = 64
+THICKNESS = 0.075
+
+
+def _default_font() -> str:
+    import matplotlib
+
+    return os.path.join(
+        os.path.dirname(matplotlib.__file__),
+        "mpl-data",
+        "fonts",
+        "ttf",
+        "DejaVuSansMono-Bold.ttf",
+    )
+
+
+def _glyph_segments_and_mask(font, letter: str):
+    """Quadratic segments (rescaled to [-1,1]^2) + (R+1)^2 inside bitmask.
+
+    TrueType outlines are quadratic B-splines with implied on-curve midpoints
+    between consecutive off-curve points; lines become degenerate quadratics
+    with B = midpoint(A, C) — the same decomposition the reference's
+    InterceptorPen performs (Logo.py:109-177)."""
+    from fontTools.pens.pointInsidePen import PointInsidePen
+    from fontTools.pens.recordingPen import RecordingPen
+
+    cmap = font.getBestCmap()
+    glyph_set = font.getGlyphSet()
+    glyph = glyph_set[cmap[ord(letter)]]
+
+    pen = RecordingPen()
+    glyph.draw(pen)
+
+    # Bounds for rescaling to [-1, 1]^2 (Logo.py:48-65).
+    points = []
+    for op, args in pen.value:
+        for pt in args:
+            if pt is not None:
+                points.append(pt)
+    pts = np.asarray(points, dtype=np.float64)
+    mn, mx = pts.min(axis=0), pts.max(axis=0)
+
+    def rescale(p):
+        return (
+            -1.0 + 2.0 * (p[0] - mn[0]) / (mx[0] - mn[0]),
+            -1.0 + 2.0 * (p[1] - mn[1]) / (mx[1] - mn[1]),
+        )
+
+    def inv_rescale(p):
+        return (
+            mn[0] + (mx[0] - mn[0]) * (p[0] + 1.0) / 2.0,
+            mn[1] + (mx[1] - mn[1]) * (p[1] + 1.0) / 2.0,
+        )
+
+    segments = []
+    current = (0.0, 0.0)
+    path_start = current
+
+    def add_line(a, c):
+        b = ((a[0] + c[0]) / 2.0, (a[1] + c[1]) / 2.0)
+        segments.append((a, b, c))
+
+    for op, args in pen.value:
+        if op == "moveTo":
+            current = rescale(args[0])
+            path_start = current
+        elif op == "lineTo":
+            nxt = rescale(args[0])
+            add_line(current, nxt)
+            current = nxt
+        elif op == "qCurveTo":
+            pts_q = list(args)
+            if pts_q[-1] is None:
+                raise ValueError("all-off-curve qCurveTo not supported")
+            if len(pts_q) == 1:  # degenerate: behaves as a line
+                nxt = rescale(pts_q[0])
+                add_line(current, nxt)
+                current = nxt
+            else:
+                # on-curve start, off-curve points with implied on-curve
+                # midpoints between consecutive off-points, explicit end.
+                start_on = current
+                for i in range(len(pts_q) - 1):
+                    off = rescale(pts_q[i])
+                    if i < len(pts_q) - 2:
+                        nxt_off = rescale(pts_q[i + 1])
+                        on = (
+                            (off[0] + nxt_off[0]) / 2.0,
+                            (off[1] + nxt_off[1]) / 2.0,
+                        )
+                    else:
+                        on = rescale(pts_q[-1])
+                    segments.append((start_on, off, on))
+                    start_on = on
+                current = rescale(pts_q[-1])
+        elif op == "curveTo":
+            # cubic (CFF fonts): approximate with two quadratics via midpoint
+            c1, c2, end = (rescale(p) for p in args[-3:])
+            add_line(current, c1)
+            add_line(c1, c2)
+            add_line(c2, end)
+            current = end
+        elif op == "closePath":
+            if current != path_start:
+                add_line(current, path_start)
+            current = path_start
+
+    # Inside/outside lattice (Logo.py:332-343): border forced outside.
+    r = LETTER_RESOLUTION
+    bits = np.zeros(((r + 1) * (r + 1),), dtype=np.int64)
+    idx = 0
+    for row in range(r + 1):
+        for col in range(r + 1):
+            y = 1.0 - 2.0 * row / r
+            x = -1.0 + 2.0 * col / r
+            if row in (0, r) or col in (0, r):
+                inside = 0
+            else:
+                pen_in = PointInsidePen(glyph_set, inv_rescale((x, y)))
+                glyph.draw(pen_in)
+                inside = 1 if pen_in.getResult() else 0
+            bits[idx] = inside
+            idx += 1
+    return segments, bits
+
+
+def _pack_bits(bits: np.ndarray) -> np.ndarray:
+    """16 bits per float, MSB first (Logo.py:86-99)."""
+    out = []
+    for start in range(0, len(bits), 16):
+        chunk = bits[start : start + 16]
+        value = 0
+        for bit in chunk:
+            value = value * 2 + int(bit)
+        value <<= 16 - len(chunk)
+        out.append(float(value))
+    return np.asarray(out, dtype=np.float32)
+
+
+def _make_letter_brush(curve_start: int, n_curves: int, mask_start: int):
+    """Brush reading curve data + bitmask from ctx.ad (the getAD path)."""
+    r = LETTER_RESOLUTION
+
+    def letter_fn(v, ctx):
+        ad = ctx.ad
+        v = 2.0 * v
+        x, y, z = v[..., 0], v[..., 1], v[..., 2]
+
+        # Curve samples: [n_curves, SUBSEGMENTS, 2] from AD (differentiable).
+        stride = 11
+        offs = curve_start + stride * np.arange(n_curves)[:, None]
+        a = jnp.stack([ad[offs + 0], ad[offs + 1]], axis=-1)  # [C,1,2]
+        b = jnp.stack([ad[offs + 3], ad[offs + 4]], axis=-1)
+        c = jnp.stack([ad[offs + 6], ad[offs + 7]], axis=-1)
+        t = (np.arange(SUBSEGMENTS, dtype=np.float32) / SUBSEGMENTS)[None, :, None]
+        samples = (1 - t) * ((1 - t) * a + t * b) + t * ((1 - t) * b + t * c)
+        samples = samples.reshape(-1, 2)  # [C*S, 2]
+        thickness = ad[curve_start + 9]
+
+        p = jnp.stack([x, y], axis=-1)  # [..., 2]
+        d2 = jnp.sum(
+            (p[..., None, :] - samples) ** 2, axis=-1
+        )  # [..., C*S]
+        d = jnp.sqrt(jnp.min(d2, axis=-1))
+
+        # Sign from the packed bitmask (Logo.py:263-275).
+        query_col = (r * (x + 1.0) / 2.0).astype(jnp.int32)
+        query_row = r - (r * (y + 1.0) / 2.0).astype(jnp.int32)
+        in_range = (
+            (query_col >= 0) & (query_col <= r) & (query_row >= 0) & (query_row <= r)
+        )
+        bit_position = query_row * (r + 1) + query_col
+        bit_position = jnp.clip(bit_position, 0, (r + 1) * (r + 1) - 1)
+        foffs = bit_position // 16
+        soffs = bit_position % 16
+        shortval = ad[mask_start + foffs].astype(jnp.int32)
+        bit = jnp.right_shift(shortval, 15 - soffs) & 1
+        inside = in_range & (bit == 1)
+
+        signed = jnp.where(inside, -d, d - thickness)
+
+        # Clip to the letter plate: unit-ish box and a thin z slab
+        # (Logo.py:314).
+        box = jnp.maximum(
+            jnp.abs(x) - 1.25, jnp.maximum(jnp.abs(y) - 1.25, jnp.abs(z) - 1.25)
+        )
+        slab = jnp.abs(z - 1.25) - 0.125
+        return jnp.maximum(jnp.maximum(signed, box), slab)
+
+    return letter_fn
+
+
+def _letter_component(c, font, letter: str, transform):
+    segments, bits = _glyph_segments_and_mask(font, letter)
+    curvedata = []
+    for (a, b, cc) in segments:
+        curvedata.extend([a[0], a[1], 0.0, b[0], b[1], 0.0, cc[0], cc[1], 0.0])
+        curvedata.append(THICKNESS)
+        curvedata.append(0.0)  # axesTag AXES_XY
+    mask_start = c.add_arbitrary_data(f"LETTER_OFFS_{letter}", _pack_bits(bits))
+    c.add_arbitrary_data(f"NUMCURVES_{letter}", [float(len(segments))])
+    curve_start = c.add_arbitrary_data(f"CURVEDATA_{letter}", curvedata)
+    brush = c.define_brush(
+        _make_letter_brush(curve_start, len(segments), mask_start),
+        name=f"letter_{letter}",
+    )
+    return api.Component(brush, transform=transform, compiler=c)
+
+
+def build(compiler=None, font_path: Optional[str] = None, letters: str = "CSG"):
+    from fontTools.ttLib import TTFont
+
+    c = api.new_design() if compiler is None else compiler
+    font = TTFont(font_path or _default_font())
+
+    eks = np.array([1.0, 0.0, 0.0])
+    why = np.array([0.0, 1.0, 0.0])
+    zee = np.array([0.0, 0.0, 1.0])
+    frames = [
+        Transform.axes(eks, why, -zee),
+        Transform.axes(zee, why, eks),
+        Transform.axes(zee, -eks, why),
+    ]
+    components = [
+        _letter_component(c, font, letter, frame)
+        for letter, frame in zip(letters, frames)
+    ]
+    api.drawUnion(*components, compiler=c)
+    return c.commit()
