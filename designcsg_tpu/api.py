@@ -256,5 +256,29 @@ def drawIntersection(*components, transform=None, compiler=None):
     return _group(components, transform, False, True, compiler)
 
 
+def define_auxillary_function(function=None, **kwargs):
+    """Compatibility shim.  The reference injects OpenCL helper source into
+    the generated scene.cl (scenecompiler.py:410-411); in this framework a
+    brush is ordinary Python, so auxiliary functions are just... functions.
+    Accepts and returns a callable unchanged so ported design scripts keep
+    working; string bodies are rejected with guidance."""
+    fn = function if function is not None else kwargs.get("function")
+    if isinstance(fn, str):
+        raise TypeError(
+            "OpenCL source strings are not used here: define your helper as a "
+            "plain Python/jnp function and call it from your brush function"
+        )
+    return fn
+
+
+def add_preprocessor_define(define=None, **kwargs):
+    """Compatibility shim for the reference's #define injection
+    (scenecompiler.py:413-414).  Use Python constants/closures instead."""
+    raise TypeError(
+        "preprocessor defines are not used here: brushes are Python functions; "
+        "use module-level constants or closure-captured values"
+    )
+
+
 def eraseIntersection(*components, transform=None, compiler=None):
     return _group(components, transform, True, True, compiler)

@@ -1,0 +1,97 @@
+"""Logging, timing, and profiling.
+
+The reference's observability is a mutexed GUI console + redirected stdout +
+a 100ms monitor thread rendering export state/elapsed/memory
+(reference: /root/reference/master/DesignCSG.cpp:300-310,575-601,839-1025).
+Library equivalents: a structured logger, a stage-timing registry, a
+``jax.profiler`` trace context, and an :class:`ExportMonitor` progress
+renderer for terminals.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+logger = logging.getLogger("designcsg_tpu")
+
+
+def configure_logging(level=logging.INFO, path: Optional[str] = None):
+    """Console + optional file logging (the reference's debug console and
+    consolelog.txt channels)."""
+    logger.setLevel(level)
+    fmt = logging.Formatter("%(asctime)s %(name)s %(levelname)s %(message)s")
+    handler = logging.StreamHandler(sys.stderr)
+    handler.setFormatter(fmt)
+    logger.addHandler(handler)
+    if path:
+        fh = logging.FileHandler(path)
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    return logger
+
+
+@dataclass
+class StageTimer:
+    """Accumulates wall-clock per named stage; renders a report table."""
+
+    stages: Dict[str, float] = field(default_factory=dict)
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        t0 = time.time()
+        try:
+            yield
+        finally:
+            self.stages[name] = self.stages.get(name, 0.0) + time.time() - t0
+
+    def report(self) -> str:
+        total = sum(self.stages.values())
+        lines = [f"{'stage':<24s}{'seconds':>10s}{'share':>8s}"]
+        for name, secs in self.stages.items():
+            share = 100.0 * secs / total if total else 0.0
+            lines.append(f"{name:<24s}{secs:>10.2f}{share:>7.1f}%")
+        lines.append(f"{'total':<24s}{total:>10.2f}")
+        return "\n".join(lines)
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str, host_tracer_level: int = 2):
+    """Capture a jax.profiler trace (view with TensorBoard / xprof) —
+    the framework's answer to the reference having no profiler at all
+    (SURVEY.md §5.1)."""
+    import jax
+
+    with jax.profiler.trace(log_dir, create_perfetto_link=False):
+        yield
+
+
+class ExportMonitor:
+    """Terminal progress renderer for export_mesh's progress callback —
+    the reference's monitor thread (stage state machine + elapsed time),
+    minus the thread: export_mesh invokes it inline."""
+
+    def __init__(self, out=sys.stderr, min_interval: float = 0.25):
+        self._out = out
+        self._t0 = time.time()
+        self._last = 0.0
+        self._min_interval = min_interval
+
+    def __call__(self, stage: str, frac: float):
+        now = time.time()
+        if now - self._last < self._min_interval and frac < 1.0:
+            return
+        self._last = now
+        elapsed = now - self._t0
+        bar_n = int(frac * 30)
+        bar = "#" * bar_n + "-" * (30 - bar_n)
+        self._out.write(
+            f"\r[{elapsed:7.1f}s] {stage:<26s} [{bar}] {frac*100:5.1f}%"
+        )
+        if frac >= 1.0:
+            self._out.write("\n")
+        self._out.flush()
