@@ -42,16 +42,25 @@ def make_pallas_renderer(
     scene: CompiledScene,
     config: Optional[RenderConfig] = None,
     interpret: bool = False,
+    block_layout: Optional[bool] = None,
 ):
     """``render(arrays, campos, rgt, upp, fwd) -> f32[H, W, 3]`` — drop-in
     replacement for ops.raymarch.make_renderer's forward (non-differentiable)
-    path, fused into one kernel launch."""
+    path, fused into one kernel launch.
+
+    ``block_layout`` maps each (8, 128) vector tile onto a *square 32x32
+    pixel block* instead of a wide stripe: ray divergence is spatially
+    coherent, so square tiles early-exit much sooner (background blocks stop
+    after a few steps instead of riding along with a silhouette pixel 128
+    columns away).  Auto-enabled when the viewport divides by 32."""
     if config is None:
         config = RenderConfig()
     assert config.width % TILE_W == 0 and config.height % TILE_H == 0, (
         f"viewport {config.width}x{config.height} must tile by "
         f"{TILE_W}x{TILE_H}"
     )
+    if block_layout is None:
+        block_layout = config.width % 32 == 0 and config.height % 32 == 0
     tape_eval = make_component_tape(scene, gizmo=config.gizmo)
     kbrushes = kernel_brushes_for_scene(scene)
     kmaterials = kernel_materials_for_scene(scene)
@@ -83,8 +92,15 @@ def make_pallas_renderer(
 
         i = pl.program_id(0)
         j = pl.program_id(1)
-        iy = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0) + i * TILE_H)
-        ix = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + j * TILE_W)
+        r = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+        if block_layout:
+            # tile (r, c) -> 32x32 block pixel (r*4 + c//32, c%32)
+            iy = i * 32 + r * 4 + c // 32
+            ix = j * 32 + c % 32
+        else:
+            iy = r + i * TILE_H
+            ix = c + j * TILE_W
         uvx = (ix.astype(jnp.float32) - w2) / w2
         uvy = -(iy.astype(jnp.float32) - h2) / w2
         # ray = (uv.x, uv.y, IFOV) projected onto the frame (k1.cl:506-528);
@@ -211,9 +227,24 @@ def make_pallas_renderer(
         g_out[:] = jnp.where(shaded, cg, miss_color[1])
         b_out[:] = jnp.where(shaded, cb, miss_color[2])
 
-    grid = (config.height // TILE_H, config.width // TILE_W)
+    if block_layout:
+        grid = (config.height // 32, config.width // 32)
+    else:
+        grid = (config.height // TILE_H, config.width // TILE_W)
     tile = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((config.height, config.width), jnp.float32)
+    if block_layout:
+        # Output stored tile-major: row-block i holds 8 rows per (i, j) tile;
+        # unscrambled to image layout after the kernel.
+        tile = pl.BlockSpec(
+            (TILE_H, TILE_W),
+            lambda i, j: (i * grid[1] + j, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (grid[0] * grid[1] * TILE_H, TILE_W), jnp.float32
+        )
+    else:
+        out_shape = jax.ShapeDtypeStruct((config.height, config.width), jnp.float32)
 
     @jax.jit
     def render(arrays: SceneArrays, campos, rgt, upp, fwd):
@@ -237,6 +268,17 @@ def make_pallas_renderer(
             out_shape=(out_shape, out_shape, out_shape),
             interpret=interpret,
         )(cam, *_bank_inputs(arrays))
+        if block_layout:
+            hb, wb = grid
+
+            def unscramble(plane):
+                # [(hb*wb*8), 128] -> [hb, wb, 8, 4, 32] -> [H, W]
+                t = plane.reshape(hb, wb, TILE_H, 4, 32)
+                return t.transpose(0, 2, 3, 1, 4).reshape(
+                    config.height, config.width
+                )
+
+            r, g, b = unscramble(r), unscramble(g), unscramble(b)
         return jnp.stack([r, g, b], axis=-1)
 
     return render
