@@ -32,6 +32,19 @@ def make_mesh(
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_2d(
+    hosts: Optional[int] = None,
+    axis_names=("host", "chip"),
+) -> Mesh:
+    """("host", "chip") mesh for pod slices: shard voxel slabs over hosts
+    (DCN) and rays/rows over chips (ICI).  Single-host: hosts=1."""
+    devices = np.asarray(jax.devices())
+    if hosts is None:
+        hosts = max(1, jax.process_count())
+    per_host = devices.size // hosts
+    return Mesh(devices.reshape(hosts, per_host), axis_names)
+
+
 def initialize_distributed(**kwargs) -> None:
     """Multi-host runtime bring-up (jax.distributed); no-op if single
     process.  On a pod slice every host calls this before building meshes."""

@@ -122,6 +122,36 @@ def test_fit_recovers_translation(design1, tmp_path):
     assert np.isfinite(float(loss2))
 
 
+def test_sharded_corner_provider_matches_direct(design1):
+    """Slab rows sharded over 8 devices must reproduce the single-device
+    corner lattice exactly."""
+    from designcsg_tpu.parallel.export import make_sharded_corner_provider
+
+    res = 16
+    center = np.zeros(3)
+    half = 4.0
+    provider = make_sharded_corner_provider(
+        design1, center, half, res, use_pallas=False
+    )
+    out = provider(0, res)
+    assert out.shape == (res + 1, res + 1, res + 1)
+
+    sdf = make_primary_sdf(design1)
+    axis = np.linspace(-half, half, res + 1)
+    zz, yy, xx = np.meshgrid(axis, axis, axis, indexing="ij")
+    pts = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3).astype(np.float32)
+    ref = np.asarray(sdf(jnp.asarray(pts), design1.arrays)).reshape(out.shape)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_mesh_2d():
+    from designcsg_tpu.parallel.mesh import make_mesh_2d
+
+    mesh = make_mesh_2d(hosts=2)
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("host", "chip")
+
+
 def test_fit_gradients_are_synchronized(design1):
     """The psum layout: gradients computed from sharded pixels must be
     replicated (identical) across devices."""
