@@ -77,17 +77,22 @@ def autodetect_bounding_box_device(
     ge = make_grid_eval(evaluator.scene)
     big = jnp.float32(1e9)
 
-    # Per-slab program, looped from Python: wrapping the pallas call +
-    # reductions in a lax.fori_loop produced multi-minute remote compiles.
+    # Two separate simple programs instead of one fused pallas+reduction jit:
+    # compiling a pallas call fused with full-array scalar reductions through
+    # the remote compiler stalled for minutes; split, each compiles in ~1s
+    # and the intermediate stays on device.
     # NB: constants built during tracing must be numpy, not jnp — a committed
     # device array captured as an MLIR constant forces a device->host pull at
-    # lowering, which stalls for minutes through the axon relay.
+    # lowering, which stalls through the axon relay.
     lo3 = np.asarray([lo, lo, lo], np.float32)
     cell32 = np.float32(cell)
 
     @jax.jit
-    def slab_minmax(arrays, z0f):
-        vals = ge(arrays, lo3, cell32, z0f, slab, res)
+    def slab_values(arrays, z0f):
+        return ge(arrays, lo3, cell32, z0f, slab, res)
+
+    @jax.jit
+    def slab_reduce(vals, z0f):
         zi = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 0)
         yi = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
         xi = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 2)
@@ -115,7 +120,8 @@ def autodetect_bounding_box_device(
     mins = np.zeros(3)
     maxs = np.zeros(3)
     for z0 in range(0, res, slab):
-        m, M = slab_minmax(evaluator._device_arrays, np.float32(z0))
+        vals = slab_values(evaluator._device_arrays, np.float32(z0))
+        m, M = slab_reduce(vals, np.float32(z0))
         mins = np.minimum(mins, np.asarray(m, np.float64))
         maxs = np.maximum(maxs, np.asarray(M, np.float64))
     center = (mins + maxs) / 2.0
