@@ -138,27 +138,86 @@ def make_fit_harness(
         return render_geom(arrays, o_proj, r_proj)
 
     sg = jax.lax.stop_gradient
+    n_pixels = float(config.width * config.height)
 
-    if loss == "rgb":
+    if loss not in ("rgb", "geometric"):
+        raise ValueError(f"unknown loss {loss!r}")
 
-        def loss_fn(params, target, campos, rgt, upp, fwd):
-            img = forward(params, campos, rgt, upp, fwd)
-            return jnp.mean((img - target) ** 2)
+    if mesh is None:
+        if loss == "rgb":
 
-    elif loss == "geometric":
+            def loss_fn(params, target, campos, rgt, upp, fwd):
+                img = forward(params, campos, rgt, upp, fwd)
+                return jnp.mean((img - target) ** 2)
 
-        def loss_fn(params, target, campos, rgt, upp, fwd):
-            target_d, target_alpha = target
-            d, alpha = forward_geom(params, campos, rgt, upp, fwd)
-            both = sg(jnp.logical_and(d > 0, target_d > 0).astype(d.dtype))
-            depth_term = jnp.sum(both * (d - target_d) ** 2) / jnp.maximum(
-                jnp.sum(both), 1.0
-            )
-            alpha_term = jnp.mean((alpha - target_alpha) ** 2)
-            return depth_term + silhouette_weight * alpha_term
+        else:
+
+            def loss_fn(params, target, campos, rgt, upp, fwd):
+                target_d, target_alpha = target
+                d, alpha = forward_geom(params, campos, rgt, upp, fwd)
+                both = sg(jnp.logical_and(d > 0, target_d > 0).astype(d.dtype))
+                depth_term = jnp.sum(both * (d - target_d) ** 2) / jnp.maximum(
+                    jnp.sum(both), 1.0
+                )
+                alpha_term = jnp.mean((alpha - target_alpha) ** 2)
+                return depth_term + silhouette_weight * alpha_term
 
     else:
-        raise ValueError(f"unknown loss {loss!r}")
+        # shard_map over pixel rows: each device marches its own ray block
+        # with a SHARD-LOCAL early-exit cond and communicates only in the
+        # final loss psums (plus their transpose — the parameter-gradient
+        # all-reduce on the backward).  Sharding the same program with GSPMD
+        # instead would partition the march while_loop's global all() cond
+        # into a cross-device all-reduce per march iteration — hundreds of
+        # rendezvous per step (and on XLA:CPU an abort risk: the in-process
+        # rendezvous LOG(FATAL)s at 40 s if a partition thread starves).
+        axis = mesh.axis_names[0]
+        P_ = P
+
+        if loss == "rgb":
+
+            def _local_loss(params, target_blk, o_proj, r_blk, rgt, upp, fwd):
+                arrays = param_to_arrays(params)
+                img = render_rays(arrays, o_proj, r_blk, rgt, upp, fwd)
+                sq = jnp.sum((img - target_blk) ** 2)
+                return jax.lax.psum(sq, axis) / (n_pixels * 3.0)
+
+            local_specs = (P_(), P_(axis), P_(), P_(axis), P_(), P_(), P_())
+        else:
+
+            def _local_loss(params, target, o_proj, r_blk, rgt, upp, fwd):
+                target_d, target_alpha = target
+                arrays = param_to_arrays(params)
+                d, alpha = render_geom(arrays, o_proj, r_blk)
+                both = sg(jnp.logical_and(d > 0, target_d > 0).astype(d.dtype))
+                num = jax.lax.psum(jnp.sum(both * (d - target_d) ** 2), axis)
+                den = jax.lax.psum(jnp.sum(both), axis)
+                asq = jax.lax.psum(jnp.sum((alpha - target_alpha) ** 2), axis)
+                depth_term = num / jnp.maximum(den, 1.0)
+                return depth_term + silhouette_weight * asq / n_pixels
+
+            local_specs = (
+                P_(),
+                (P_(axis), P_(axis)),
+                P_(),
+                P_(axis),
+                P_(),
+                P_(),
+                P_(),
+            )
+
+        sharded_loss = jax.shard_map(
+            _local_loss,
+            mesh=mesh,
+            in_specs=local_specs,
+            out_specs=P_(),
+            check_vma=False,
+        )
+
+        def loss_fn(params, target, campos, rgt, upp, fwd):
+            o_proj = _project(campos, rgt, upp, fwd)
+            r_proj = _project(dirs, rgt, upp, fwd)
+            return sharded_loss(params, target, o_proj, r_proj, rgt, upp, fwd)
 
     value_and_grad = jax.value_and_grad(loss_fn)
 

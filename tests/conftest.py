@@ -8,11 +8,25 @@ a pod slice).  Must be set before JAX initializes.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The XLA:CPU PJRT client sizes its worker pool from the processor count
+# (override: PJRT_NPROC).  On a small CI host (e.g. 2 cores) an 8-virtual-
+# device collective can deadlock: participant threads block the whole pool at
+# the rendezvous and the remaining partitions never get a thread, so the
+# 40 s rendezvous termination LOG(FATAL)s the process.  Guarantee at least
+# 2 threads per virtual device.
+if int(os.environ.get("PJRT_NPROC", "0") or 0) < 16:
+    os.environ["PJRT_NPROC"] = "16"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_timeout_seconds" not in flags:
+    # XLA:CPU in-process collectives LOG(FATAL) (SIGABRT, killing pytest) if
+    # any partition thread is starved past the rendezvous timeout (~30 s
+    # default).  On an oversubscribed CI host the 8 virtual-device sharded
+    # tests can trip it; raise it — a genuine deadlock still fails via the
+    # outer test timeout.
+    flags = (flags + " --xla_cpu_collective_timeout_seconds=3600").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import sys
 
