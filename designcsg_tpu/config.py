@@ -38,6 +38,14 @@ class RenderConfig:
     # boundaries): near-miss rays fade in over this SDF bandwidth.  Interior
     # pixel values are unchanged; only boundary pixels and gradients differ.
     soft_silhouette_bandwidth: float = 0.0
+    # Over-relaxed sphere tracing (Keinert et al. 2014): step by
+    # march_overrelax * sdf and retract whenever consecutive bounding spheres
+    # stop overlapping, which guarantees the same intersections as plain
+    # sphere tracing while cutting the step count ~25-40%.  1.0 = off =
+    # exact reference march semantics (the default); ~1.6 is a good fast
+    # setting.  Hit points agree to sdf_epsilon, so images match the
+    # reference render to sub-pixel shading differences at silhouettes.
+    march_overrelax: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

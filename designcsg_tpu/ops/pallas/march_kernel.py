@@ -72,6 +72,7 @@ def make_pallas_renderer(
     tol = config.march_tolerance
     max_d = config.max_distance
     max_steps = config.max_steps
+    omega = float(getattr(config, "march_overrelax", 1.0))
     n_eps = config.normal_epsilon
     mat_thresh = config.sdf_epsilon * config.material_tolerance
     w2 = config.width / 2.0
@@ -125,34 +126,96 @@ def make_pallas_renderer(
         hit0 = zero
         miss0 = zero
 
-        def cond(state):
-            step, _, _, _, _, hit, miss = state
-            return jnp.logical_and(step < max_steps, jnp.min(hit + miss) < 0.5)
+        if omega <= 1.0:
 
-        def body(state):
-            step, vx, vy, vz, d, hit, miss = state
-            active = (1.0 - hit) * (1.0 - miss)
-            s = sdf(vx, vy, vz) * tol
-            new_hit = active * jnp.where(s < eps, 1.0, 0.0)
-            advance = active * (1.0 - new_hit)
-            vx = vx + advance * s * rx
-            vy = vy + advance * s * ry
-            vz = vz + advance * s * rz
-            d = d + advance * s
-            new_miss = advance * jnp.where(d > max_d, 1.0, 0.0)
-            return (
-                step + 1,
-                vx,
-                vy,
-                vz,
-                d,
-                jnp.maximum(hit, new_hit),
-                jnp.maximum(miss, new_miss),
+            def cond(state):
+                step, _, _, _, _, hit, miss = state
+                return jnp.logical_and(step < max_steps, jnp.min(hit + miss) < 0.5)
+
+            def body(state):
+                step, vx, vy, vz, d, hit, miss = state
+                active = (1.0 - hit) * (1.0 - miss)
+                s = sdf(vx, vy, vz) * tol
+                new_hit = active * jnp.where(s < eps, 1.0, 0.0)
+                advance = active * (1.0 - new_hit)
+                vx = vx + advance * s * rx
+                vy = vy + advance * s * ry
+                vz = vz + advance * s * rz
+                d = d + advance * s
+                new_miss = advance * jnp.where(d > max_d, 1.0, 0.0)
+                return (
+                    step + 1,
+                    vx,
+                    vy,
+                    vz,
+                    d,
+                    jnp.maximum(hit, new_hit),
+                    jnp.maximum(miss, new_miss),
+                )
+
+            _, vx, vy, vz, d, hit_f, miss_f = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), vx0, vy0, vz0, d0, hit0, miss0)
             )
+        else:
+            # Over-relaxed sphere tracing (Keinert et al. 2014): step by
+            # omega*s; if consecutive bounding spheres stop overlapping the
+            # last step may have crossed a surface — retract and drop the ray
+            # to plain tracing.  Same intersections, ~25-40% fewer steps.
+            prev0 = zero
+            step_len0 = zero
+            omg0 = zero + omega
 
-        _, vx, vy, vz, d, hit_f, miss_f = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), vx0, vy0, vz0, d0, hit0, miss0)
-        )
+            def cond(state):
+                step, _, _, _, _, hit, miss, _, _, _ = state
+                return jnp.logical_and(step < max_steps, jnp.min(hit + miss) < 0.5)
+
+            def body(state):
+                step, vx, vy, vz, d, hit, miss, prev_r, step_len, omg = state
+                active = (1.0 - hit) * (1.0 - miss)
+                s = sdf(vx, vy, vz) * tol
+                sor_ok = jnp.where(jnp.abs(s) + prev_r < step_len, 0.0, 1.0)
+                sor_ok = jnp.where(omg > 1.0, sor_ok, 1.0)
+                new_hit = active * sor_ok * jnp.where(s < eps, 1.0, 0.0)
+                step_len = jnp.where(
+                    sor_ok > 0.5, omg * s, step_len * (1.0 - omg)
+                )
+                omg = jnp.where(sor_ok > 0.5, omg, 1.0)
+                advance = active * (1.0 - new_hit)
+                vx = vx + advance * step_len * rx
+                vy = vy + advance * step_len * ry
+                vz = vz + advance * step_len * rz
+                d = d + advance * step_len
+                prev_r = jnp.where(active > 0.5, jnp.abs(s), prev_r)
+                new_miss = advance * jnp.where(d > max_d, 1.0, 0.0)
+                return (
+                    step + 1,
+                    vx,
+                    vy,
+                    vz,
+                    d,
+                    jnp.maximum(hit, new_hit),
+                    jnp.maximum(miss, new_miss),
+                    prev_r,
+                    step_len,
+                    omg,
+                )
+
+            _, vx, vy, vz, d, hit_f, miss_f, _, _, _ = jax.lax.while_loop(
+                cond,
+                body,
+                (
+                    jnp.int32(0),
+                    vx0,
+                    vy0,
+                    vz0,
+                    d0,
+                    hit0,
+                    miss0,
+                    prev0,
+                    step_len0,
+                    omg0,
+                ),
+            )
         hit = hit_f > 0.5
         shaded = jnp.logical_and(hit, d > 0.0)
 

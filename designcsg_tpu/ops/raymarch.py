@@ -71,6 +71,9 @@ def make_march(scene: CompiledScene, config: RenderConfig):
     tol = config.march_tolerance
     max_d = config.max_distance
     max_steps = config.max_steps
+    omega = float(getattr(config, "march_overrelax", 1.0))
+    if omega > 1.0:
+        return _make_overrelaxed_march(sdf, config)
 
     def march(origins, dirs, arrays: SceneArrays, return_closest: bool = False):
         # origins/dirs already projected into the camera frame.
@@ -105,6 +108,92 @@ def make_march(scene: CompiledScene, config: RenderConfig):
             cond, body, (jnp.asarray(0), v0, d0, hit0, miss0, smin0, vmin0)
         )
         # Rays still active after max_steps are misses (k1.cl:469).
+        d_out = jnp.where(hit, d, -1.0)
+        if return_closest:
+            return d_out, vmin
+        return d_out
+
+    return march
+
+
+def _make_overrelaxed_march(sdf, config: RenderConfig):
+    """Over-relaxed sphere tracing (Keinert et al. 2014, "Enhanced Sphere
+    Tracing" §3.1): step by ``omega * s`` and, whenever consecutive bounding
+    spheres stop overlapping (``|s| + prev_|s| < last_step``), retract the
+    last step and fall back to plain sphere tracing for that ray.  Finds the
+    same intersections as the standard march (a retraction restores the
+    conservative invariant before any surface can be crossed); hit points
+    agree to ``sdf_epsilon``.  Opt-in via RenderConfig.march_overrelax > 1."""
+    eps = config.sdf_epsilon
+    tol = config.march_tolerance
+    max_d = config.max_distance
+    max_steps = config.max_steps
+    omega0 = float(config.march_overrelax)
+
+    def march(origins, dirs, arrays: SceneArrays, return_closest: bool = False):
+        batch = dirs.shape[:-1]
+        v0 = jnp.broadcast_to(origins, dirs.shape).astype(dirs.dtype)
+        d0 = jnp.zeros(batch, dtype=dirs.dtype)
+        hit0 = jnp.zeros(batch, dtype=bool)
+        miss0 = jnp.zeros(batch, dtype=bool)
+        prev0 = jnp.zeros(batch, dtype=dirs.dtype)
+        step_len0 = jnp.zeros(batch, dtype=dirs.dtype)
+        omg0 = jnp.full(batch, omega0, dtype=dirs.dtype)
+        smin0 = jnp.full(batch, MAX_DISTANCE, dtype=dirs.dtype)
+        vmin0 = v0
+
+        def cond(state):
+            step = state[0]
+            hit, miss = state[3], state[4]
+            return jnp.logical_and(step < max_steps, ~jnp.all(hit | miss))
+
+        def body(state):
+            step, v, d, hit, miss, prev_r, step_len, omg, smin, vmin = state
+            active = ~(hit | miss)
+            s = sdf(v, arrays) * tol
+            if return_closest:
+                closer = jnp.logical_and(active, s < smin)
+                smin = jnp.where(closer, s, smin)
+                vmin = jnp.where(closer[..., None], v, vmin)
+            # Consecutive bounding spheres must overlap; otherwise the last
+            # (relaxed) step may have crossed a surface — retract it and drop
+            # this ray to plain sphere tracing (omega = 1).
+            sor_fail = jnp.logical_and(omg > 1.0, jnp.abs(s) + prev_r < step_len)
+            new_hit = jnp.logical_and(active, jnp.logical_and(~sor_fail, s < eps))
+            step_len = jnp.where(sor_fail, step_len * (1.0 - omg), omg * s)
+            omg = jnp.where(sor_fail, 1.0, omg)
+            advance = jnp.logical_and(active, ~new_hit)
+            v = jnp.where(advance[..., None], v + step_len[..., None] * dirs, v)
+            d = jnp.where(advance, d + step_len, d)
+            prev_r = jnp.where(active, jnp.abs(s), prev_r)
+            new_miss = jnp.logical_and(advance, d > max_d)
+            return (
+                step + 1,
+                v,
+                d,
+                hit | new_hit,
+                miss | new_miss,
+                prev_r,
+                step_len,
+                omg,
+                smin,
+                vmin,
+            )
+
+        state = (
+            jnp.asarray(0),
+            v0,
+            d0,
+            hit0,
+            miss0,
+            prev0,
+            step_len0,
+            omg0,
+            smin0,
+            vmin0,
+        )
+        state = jax.lax.while_loop(cond, body, state)
+        _, v, d, hit, miss, _, _, _, smin, vmin = state
         d_out = jnp.where(hit, d, -1.0)
         if return_closest:
             return d_out, vmin

@@ -107,3 +107,21 @@ def test_march_kernel_matches_jnp_renderer(design1):
     # may attribute differently.  Overall images must agree closely.
     assert np.abs(ours - ref).max() < 1e-3
     assert (np.abs(ours - ref) > 1e-4).mean() < 0.01
+
+
+def test_march_kernel_overrelaxed_matches_jnp(design1):
+    """The Pallas over-relaxed march must implement the same algorithm as the
+    jnp over-relaxed march (not merely converge to the same surface)."""
+    arrays = as_device_arrays(design1.arrays)
+    config = RenderConfig(width=128, height=32, max_steps=128, march_overrelax=1.6)
+    campos, rgt, upp, fwd = (jnp.asarray(a) for a in Camera.initial().as_arrays())
+    ref = np.asarray(
+        jax.jit(make_renderer(design1, config))(arrays, campos, rgt, upp, fwd)
+    )
+    ours = np.asarray(
+        make_pallas_renderer(design1, config, interpret=True)(
+            arrays, campos, rgt, upp, fwd
+        )
+    )
+    assert np.abs(ours - ref).max() < 1e-3
+    assert (np.abs(ours - ref) > 1e-4).mean() < 0.01

@@ -116,3 +116,21 @@ def test_analytic_normals_render_close_to_fd(design1):
     # Same pixels hit; shading differs only by normal estimation error.
     diff = np.abs(img_fd - img_an)
     assert np.quantile(diff, 0.99) < 0.05
+
+
+def test_overrelaxed_march_matches_standard(design1):
+    """Over-relaxed sphere tracing (RenderConfig.march_overrelax > 1) must
+    find the same intersections as the plain march: images agree except for
+    a sub-0.5% fringe of silhouette pixels whose hit point (and therefore FD
+    normal) shifts within sdf_epsilon."""
+    cfg_std = RenderConfig(width=160, height=128)
+    cfg_rel = RenderConfig(width=160, height=128, march_overrelax=1.6)
+    std = np.asarray(render_scene(design1, config=cfg_std))
+    rel = np.asarray(render_scene(design1, config=cfg_rel))
+    hit_std = (std != np.asarray(cfg_std.miss_color)).any(-1)
+    hit_rel = (rel != np.asarray(cfg_rel.miss_color)).any(-1)
+    # Hit/miss classification may flip only on isolated boundary pixels.
+    assert (hit_std != hit_rel).mean() < 0.002
+    # Interior shading identical; only boundary-pixel normals shift.
+    off = (np.abs(std - rel).max(-1) > 2.0 / 255.0).mean()
+    assert off < 0.005, off
