@@ -176,11 +176,17 @@ def export_mesh(
     autodetect_resolution: int = 256,
     slab_cells: int = 32,
     sharded: bool = False,
+    strategy: str = "auto",
 ) -> tuple[Mesh, ExportReport]:
     """Run the full export: autodetect -> extract -> refine -> write.
 
     ``resume_dir`` caches the extracted (pre-refinement) mesh keyed by the
     scene+config content hash; a re-run after a crash skips completed work.
+
+    ``strategy`` selects the extraction dataflow: ``"active"`` ships only
+    surface-active blocks off device (export/active.py), ``"dense"`` ships
+    whole corner slabs, ``"auto"`` picks active whenever the grid shape
+    allows it.
     """
     config = export_config or scene.export_config or ExportConfig()
     evaluator = evaluator or BatchEvaluator(scene, sharded=sharded)
@@ -227,38 +233,62 @@ def export_mesh(
             mesh = Mesh(vertices=data["vertices"], faces=data["faces"])
 
     if mesh is None:
-        corner_provider = None
-        if getattr(evaluator, "use_pallas", False):
-            # Zero-host-point fast path: the Pallas grid kernel synthesizes
-            # coordinates in-register; only corner values cross HBM/host.
-            from ..ops.pallas import make_grid_eval
-
-            grid_kernel = make_grid_eval(evaluator.scene)
-            lo = np.asarray(center, np.float64) - half
-            cell = 2.0 * half / resolution
-
-            def corner_provider(z0, sz):
-                return np.asarray(
-                    grid_kernel(
-                        evaluator._device_arrays,
-                        np.asarray(lo, np.float32),
-                        np.float32(cell),
-                        np.float32(z0),
-                        sz + 1,
-                        resolution + 1,
-                    )
-                )
-
-        mesh = extract_surface(
-            evaluator.eval_sdf_at_points,
-            center,
-            half,
-            resolution,
-            midpoint=False,
-            slab_cells=slab_cells,
-            progress=lambda s, f: _tick(ExportStage.EXTRACTING_SURFACE.name, f),
-            corner_provider=corner_provider,
+        extract_progress = lambda s, f: _tick(  # noqa: E731
+            ExportStage.EXTRACTING_SURFACE.name, f
         )
+        slab = min(slab_cells, resolution)
+        if strategy == "auto":
+            strategy = (
+                "active" if (not sharded and resolution % slab == 0) else "dense"
+            )
+        if strategy == "active":
+            # Active-block path (export/active.py): the per-block surface
+            # mask reduces on device and only surface blocks cross the host
+            # link — O(surface) transfer instead of O(volume).
+            from .active import extract_surface_active
+
+            mesh = extract_surface_active(
+                evaluator,
+                center,
+                half,
+                resolution,
+                midpoint=False,
+                slab_cells=slab,
+                progress=extract_progress,
+            )
+        else:
+            corner_provider = None
+            if getattr(evaluator, "use_pallas", False):
+                # Zero-host-point fast path: the Pallas grid kernel synthesizes
+                # coordinates in-register; only corner values cross HBM/host.
+                from ..ops.pallas import make_grid_eval
+
+                grid_kernel = make_grid_eval(evaluator.scene)
+                lo = np.asarray(center, np.float64) - half
+                cell = 2.0 * half / resolution
+
+                def corner_provider(z0, sz):
+                    return np.asarray(
+                        grid_kernel(
+                            evaluator._device_arrays,
+                            np.asarray(lo, np.float32),
+                            np.float32(cell),
+                            np.float32(z0),
+                            sz + 1,
+                            resolution + 1,
+                        )
+                    )
+
+            mesh = extract_surface(
+                evaluator.eval_sdf_at_points,
+                center,
+                half,
+                resolution,
+                midpoint=False,
+                slab_cells=slab_cells,
+                progress=extract_progress,
+                corner_provider=corner_provider,
+            )
         evals += (resolution + 1) ** 2 * (resolution + slab_cells)
         if cache_path is not None:
             np.savez(cache_path, vertices=mesh.vertices, faces=mesh.faces)

@@ -82,6 +82,28 @@ def _load() -> Optional[ctypes.CDLL]:
             _I64P,
             _F32P,
         ]
+        lib.mc_blocks.restype = ctypes.c_longlong
+        lib.mc_blocks.argtypes = [
+            _F32P,
+            _I64P,
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+            ctypes.c_int,
+            _I64P,
+            _I64P,
+            ctypes.c_longlong,
+            _I64P,
+            _I64P,
+            _I64P,
+            _I64P,
+            _I64P,
+            ctypes.c_longlong,
+            _I64P,
+            _F32P,
+        ]
         lib.weld.restype = ctypes.c_longlong
         lib.weld.argtypes = [_I64P, ctypes.c_longlong, _I64P, _I64P]
         lib.write_stl_soup.restype = ctypes.c_longlong
@@ -129,6 +151,64 @@ def mc_slab(
             sz,
             r1,
             int(z0),
+            1 if midpoint else 0,
+            te,
+            nt,
+            tri_edges.shape[1],
+            ea,
+            eo,
+            e0,
+            e1,
+            co,
+            capacity,
+            keys,
+            pos,
+        )
+        if n >= 0:
+            return keys[: n * 3].reshape(n, 3), pos[: n * 9].reshape(n, 3, 3)
+        capacity *= 2
+
+
+def mc_blocks(
+    corners: np.ndarray, coords: np.ndarray, resolution: int, midpoint: bool
+) -> tuple[np.ndarray, np.ndarray]:
+    """Native twin of ops.marching_cubes._block_triangles over K blocks.
+    ``corners`` is f32[K, nz+1, ny+1, nx+1]; ``coords`` is i64[K, 3] global
+    (x0, y0, z0) cell origins.  Returns (keys i64[T,3], pos f32[T,3,3])."""
+    from ..ops.marching_cubes import (
+        CORNERS,
+        EDGE_AXIS,
+        EDGE_ORIGIN,
+        EDGES,
+        triangle_table,
+    )
+
+    lib = _load()
+    assert lib is not None
+    tri_edges, n_tris = triangle_table()
+    corners = np.ascontiguousarray(corners, dtype=np.float32)
+    coords = np.ascontiguousarray(coords, dtype=np.int64)
+    K = corners.shape[0]
+    nz, ny, nx = (corners.shape[1] - 1, corners.shape[2] - 1, corners.shape[3] - 1)
+    capacity = max(1 << 16, 2 * K * nz * max(ny, nx))
+    te = np.ascontiguousarray(tri_edges.reshape(-1))
+    nt = np.ascontiguousarray(n_tris)
+    ea = np.ascontiguousarray(EDGE_AXIS)
+    eo = np.ascontiguousarray(EDGE_ORIGIN.reshape(-1))
+    e0 = np.ascontiguousarray(EDGES[:, 0])
+    e1 = np.ascontiguousarray(EDGES[:, 1])
+    co = np.ascontiguousarray(CORNERS.reshape(-1))
+    while True:
+        keys = np.empty((capacity * 3,), dtype=np.int64)
+        pos = np.empty((capacity * 9,), dtype=np.float32)
+        n = lib.mc_blocks(
+            corners.reshape(-1),
+            coords.reshape(-1),
+            K,
+            nz,
+            ny,
+            nx,
+            int(resolution) + 1,
             1 if midpoint else 0,
             te,
             nt,

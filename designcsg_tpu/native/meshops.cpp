@@ -105,6 +105,101 @@ long long mc_slab(const float* corners,
     return count;
 }
 
+// Extract triangles from K gathered corner blocks (the active-block path:
+// the TPU computes which blocks contain the surface and ships only those —
+// the two-level analog of the reference's octree descent, mesh.hpp:214-267).
+//
+// corners: f32[K * (nz+1) * (ny+1) * (nx+1)], block-major, z/y/x within a
+// block.  coords: i64[K * 3] = global (x0, y0, z0) cell origin per block.
+// Keys are global edge ids against the full (r1 = res+1) corner grid, so
+// blocks weld seamlessly with each other and with mc_slab output.
+long long mc_blocks(const float* corners,
+                    const long long* coords,  // [K * 3] (x0, y0, z0)
+                    long long K,
+                    long long nz, long long ny, long long nx,  // cells/block
+                    long long r1,     // global corner count per axis
+                    int midpoint,
+                    const long long* tri_edges,  // [256 * maxt * 3]
+                    const long long* n_tris,     // [256]
+                    long long maxt,
+                    const long long* edge_axis,    // [12]
+                    const long long* edge_origin,  // [12 * 3]
+                    const long long* edge_c0,      // [12]
+                    const long long* edge_c1,      // [12]
+                    const long long* corner_off,   // [8 * 3] (x, y, z)
+                    long long capacity,
+                    long long* out_keys,  // [capacity * 3]
+                    float* out_pos)       // [capacity * 9]
+{
+    const long long rowlen = nx + 1;
+    const long long plane = (ny + 1) * rowlen;
+    const long long blocklen = (nz + 1) * plane;
+    long long count = 0;
+    for (long long b = 0; b < K; b++) {
+        const float* blk = corners + b * blocklen;
+        const long long x0 = coords[b * 3 + 0];
+        const long long y0 = coords[b * 3 + 1];
+        const long long z0 = coords[b * 3 + 2];
+        for (long long z = 0; z < nz; z++) {
+            for (long long y = 0; y < ny; y++) {
+                for (long long x = 0; x < nx; x++) {
+                    int config = 0;
+                    for (int c = 0; c < 8; c++) {
+                        const long long cx = corner_off[c * 3 + 0];
+                        const long long cy = corner_off[c * 3 + 1];
+                        const long long cz = corner_off[c * 3 + 2];
+                        const float v =
+                            blk[(z + cz) * plane + (y + cy) * rowlen + (x + cx)];
+                        if (v < 0.0f) config |= (1 << c);
+                    }
+                    if (config == 0 || config == 255) continue;
+                    const long long nt = n_tris[config];
+                    for (long long t = 0; t < nt; t++) {
+                        if (count >= capacity) return -1;
+                        for (int k = 0; k < 3; k++) {
+                            const long long e =
+                                tri_edges[(config * maxt + t) * 3 + k];
+                            const long long ax = edge_axis[e];
+                            const long long gx = x0 + x + edge_origin[e * 3 + 0];
+                            const long long gy = y0 + y + edge_origin[e * 3 + 1];
+                            const long long gz = z0 + z + edge_origin[e * 3 + 2];
+                            out_keys[count * 3 + k] =
+                                ((ax * r1 + gz) * r1 + gy) * r1 + gx;
+                            float tt = 0.5f;
+                            if (!midpoint) {
+                                const long long c0 = edge_c0[e];
+                                const long long c1 = edge_c1[e];
+                                const float v0 =
+                                    blk[(z + corner_off[c0 * 3 + 2]) * plane +
+                                        (y + corner_off[c0 * 3 + 1]) * rowlen +
+                                        (x + corner_off[c0 * 3 + 0])];
+                                const float v1 =
+                                    blk[(z + corner_off[c1 * 3 + 2]) * plane +
+                                        (y + corner_off[c1 * 3 + 1]) * rowlen +
+                                        (x + corner_off[c1 * 3 + 0])];
+                                const float denom = v0 - v1;
+                                if (denom > 1e-12f || denom < -1e-12f)
+                                    tt = v0 / denom;
+                                if (tt < 0.0f) tt = 0.0f;
+                                if (tt > 1.0f) tt = 1.0f;
+                            }
+                            float px = (float)gx, py = (float)gy, pz = (float)gz;
+                            if (ax == 0) px += tt;
+                            else if (ax == 1) py += tt;
+                            else pz += tt;
+                            out_pos[count * 9 + k * 3 + 0] = px;
+                            out_pos[count * 9 + k * 3 + 1] = py;
+                            out_pos[count * 9 + k * 3 + 2] = pz;
+                        }
+                        count++;
+                    }
+                }
+            }
+        }
+    }
+    return count;
+}
+
 // Weld vertices by exact key: fills inverse[i] (vertex id per input key) and
 // first_idx[v] (input index of vertex v's first occurrence); returns the
 // number of unique vertices.

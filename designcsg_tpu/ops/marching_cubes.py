@@ -219,7 +219,21 @@ def _slab_triangles(
     """Extract (edge_keys i64[K,3], t_params f32[K,3]->positions) for one
     z-slab of cells, vectorized in numpy.  Returns (keys, verts01) where keys
     are global edge ids (weldable) and verts01 are positions in grid units."""
+    return _block_triangles(corner_values, (0, 0, z0), resolution, midpoint)
+
+
+def _block_triangles(
+    corner_values: np.ndarray,  # f32[nz+1, ny+1, nx+1] sdf at corners
+    origin: Tuple[int, int, int],  # global (x0, y0, z0) cell origin
+    resolution: int,
+    midpoint: bool,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Like :func:`_slab_triangles` but for a block at an arbitrary global
+    cell origin — the host half of the active-block extraction path.  Keys
+    are global edge ids against the full ``resolution + 1`` corner grid, so
+    blocks weld seamlessly."""
     tri_edges, n_tris = triangle_table()
+    x0, y0, z0 = (int(v) for v in origin)
     sz = corner_values.shape[0] - 1
     ny = corner_values.shape[1] - 1
     nx = corner_values.shape[2] - 1
@@ -249,8 +263,8 @@ def _slab_triangles(
     edges = tri_edges[ccfg[tri_cell], slot]  # i64[T, 3] edge ids
 
     # Edge -> global grid key and position.
-    cellx = cx[tri_cell][:, None]
-    celly = cy[tri_cell][:, None]
+    cellx = (cx[tri_cell] + x0)[:, None]
+    celly = (cy[tri_cell] + y0)[:, None]
     cellz = (cz[tri_cell] + z0)[:, None]
     axis = EDGE_AXIS[edges]
     orig = EDGE_ORIGIN[edges]  # [T, 3, 3] (x, y, z offsets)
@@ -354,6 +368,23 @@ def extract_surface(
             progress("extract", (z0 + sz) / res)
         z0 += sz
 
+    return assemble_mesh(all_keys, all_pos, lo, cell, use_native=use_native)
+
+
+def assemble_mesh(
+    all_keys: List[np.ndarray],
+    all_pos: List[np.ndarray],
+    lo: np.ndarray,
+    cell: float,
+    use_native: Optional[bool] = None,
+) -> Mesh:
+    """Weld flat (edge-key, grid-unit-position) triangle streams into an
+    indexed world-space mesh, dropping degenerate triangles."""
+    from .. import native
+
+    if use_native is None:
+        use_native = native.available()
+    lo = np.asarray(lo, dtype=np.float64)
     if not all_keys:
         return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
 
