@@ -42,9 +42,18 @@ from ..ops.marching_cubes import Mesh, _block_triangles, assemble_mesh
 _MAX_GATHER = 2048
 
 
-def _make_slab_provider(evaluator: BatchEvaluator) -> Callable:
+def _make_slab_provider(
+    evaluator: BatchEvaluator, device_mesh=None
+) -> Callable:
     """Returns ``provider(lo3 f64[3], cell, z0, rows, r1) -> device f32[rows, r1, r1]``
-    — corner values at ``lo + cell * (x, y, z0 + z)``, left on device."""
+    — corner values at ``lo + cell * (x, y, z0 + z)``, left on device.
+
+    With ``device_mesh``, slab z-rows are evaluated in ``shard_map`` across
+    the mesh's first axis (the voxel-tile data parallelism of SURVEY.md §2.7)
+    and the result stays sharded; the downstream mask/gather jits run on the
+    global array with GSPMD inserting the halo exchanges."""
+    if device_mesh is not None:
+        return _make_sharded_slab_provider(evaluator, device_mesh)
     if getattr(evaluator, "use_pallas", False):
         from ..ops.pallas import make_grid_eval
 
@@ -89,6 +98,73 @@ def _make_slab_provider(evaluator: BatchEvaluator) -> Callable:
             rows,
             r1,
         )
+
+    return provider
+
+
+def _make_sharded_slab_provider(evaluator: BatchEvaluator, device_mesh):
+    from jax.sharding import PartitionSpec as P
+
+    axis = device_mesh.axis_names[0]
+    n = int(np.prod([device_mesh.shape[a] for a in device_mesh.axis_names]))
+    scene = evaluator.scene
+
+    if getattr(evaluator, "use_pallas", False):
+        from ..ops.pallas import make_grid_eval
+
+        grid_eval = make_grid_eval(scene)
+
+        def eval_rows(arrays, lo3, cell, z0f, nrows: int, r1: int):
+            return grid_eval(arrays, lo3, cell, z0f, nrows, r1)
+
+    else:
+        # Fresh unsharded interpreter: the evaluator's own sdf may already be
+        # shard_map-wrapped (sharded=True), and shard_maps don't nest.
+        from ..ops.interpreter import make_primary_sdf
+
+        sdf = make_primary_sdf(scene)
+
+        def eval_rows(arrays, lo3, cell, z0f, nrows: int, r1: int):
+            zi = jax.lax.broadcasted_iota(jnp.int32, (nrows, r1, r1), 0)
+            yi = jax.lax.broadcasted_iota(jnp.int32, (nrows, r1, r1), 1)
+            xi = jax.lax.broadcasted_iota(jnp.int32, (nrows, r1, r1), 2)
+            pts = jnp.stack(
+                [
+                    lo3[0] + cell * xi.astype(jnp.float32),
+                    lo3[1] + cell * yi.astype(jnp.float32),
+                    lo3[2] + cell * (zi.astype(jnp.float32) + z0f),
+                ],
+                axis=-1,
+            ).reshape(-1, 3)
+            return sdf(pts, arrays).reshape(nrows, r1, r1)
+
+    _cache = {}
+
+    def provider(lo3, cell, z0, rows, r1):
+        per = -(-rows // n)  # z-rows per device; trailing overhang sliced off
+        key = (per, r1)
+        if key not in _cache:
+
+            def block(arrays, lo3d, celld, z0f):
+                k = jax.lax.axis_index(axis).astype(jnp.float32)
+                return eval_rows(arrays, lo3d, celld, z0f + k * per, per, r1)
+
+            _cache[key] = jax.jit(
+                jax.shard_map(
+                    block,
+                    mesh=device_mesh,
+                    in_specs=(P(), P(), P(), P()),
+                    out_specs=P(axis),
+                    check_vma=False,
+                )
+            )
+        out = _cache[key](
+            evaluator._device_arrays,
+            jnp.asarray(np.asarray(lo3, np.float32)),
+            jnp.float32(cell),
+            jnp.float32(z0),
+        )
+        return out[:rows]
 
     return provider
 
@@ -154,6 +230,7 @@ def extract_surface_active(
     block: Optional[Tuple[int, int, int]] = None,
     progress: Optional[Callable[[str, float], None]] = None,
     use_native: Optional[bool] = None,
+    device_mesh=None,
 ) -> Mesh:
     """March ``resolution^3`` cells over ``center ± half_diameter`` shipping
     only surface-active blocks to the host.  Produces the same triangle set
@@ -176,7 +253,7 @@ def extract_surface_active(
     cell = 2.0 * half_diameter / res
     lo = center - half_diameter
     r1 = res + 1
-    provider = _make_slab_provider(evaluator)
+    provider = _make_slab_provider(evaluator, device_mesh=device_mesh)
 
     all_keys = []
     all_pos = []

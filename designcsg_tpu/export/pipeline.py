@@ -238,15 +238,18 @@ def export_mesh(
         )
         slab = min(slab_cells, resolution)
         if strategy == "auto":
-            strategy = (
-                "active" if (not sharded and resolution % slab == 0) else "dense"
-            )
+            strategy = "active" if resolution % slab == 0 else "dense"
         if strategy == "active":
             # Active-block path (export/active.py): the per-block surface
             # mask reduces on device and only surface blocks cross the host
             # link — O(surface) transfer instead of O(volume).
             from .active import extract_surface_active
 
+            device_mesh = None
+            if sharded:
+                from ..parallel.mesh import make_mesh
+
+                device_mesh = make_mesh()
             mesh = extract_surface_active(
                 evaluator,
                 center,
@@ -255,6 +258,7 @@ def export_mesh(
                 midpoint=False,
                 slab_cells=slab,
                 progress=extract_progress,
+                device_mesh=device_mesh,
             )
         else:
             corner_provider = None

@@ -116,6 +116,22 @@ def test_native_mc_blocks_matches_numpy():
     np.testing.assert_allclose(npos, pp, atol=1e-6)
 
 
+def test_sharded_active_matches_single_device(evaluator):
+    import jax
+
+    from designcsg_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    center = np.zeros(3)
+    single = extract_surface_active(evaluator, center, 2.0, 32, slab_cells=32)
+    sharded = extract_surface_active(
+        evaluator, center, 2.0, 32, slab_cells=32, device_mesh=make_mesh()
+    )
+    assert single.num_faces == sharded.num_faces > 0
+    assert canonical_triangles(single) == canonical_triangles(sharded)
+
+
 def test_choose_block_divides():
     for res in (32, 64, 128, 512):
         for slab in (8, 16, 32):
