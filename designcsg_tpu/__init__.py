@@ -10,17 +10,31 @@ differentiable end-to-end.
 
 import os as _os
 
-# Opt-in persistent XLA compilation cache (set DESIGNCSG_JAX_CACHE=<dir>).
-# Not enabled by default: the axon remote-compile plugin mishandles
-# executable serialization and every jit slows ~5x with the cache on.
+# Persistent XLA compilation cache, on by default: scene programs are
+# recompiled identically across processes (render shapes, export slab
+# shapes), and on remote-compile backends a single heavy tape can take
+# minutes to build — the cache turns that into a one-time cost (measured on
+# the axon TPU relay: Design2 bbox-autodetect 69 s cold -> 8.5 s in a fresh
+# process from a warm cache; steady-state dispatch unaffected).  Override the
+# location with DESIGNCSG_JAX_CACHE=<dir>, disable with DESIGNCSG_JAX_CACHE=0,
+# and an explicit JAX_COMPILATION_CACHE_DIR / prior jax config wins.
 try:  # pragma: no cover - best effort
     _cache_dir = _os.environ.get("DESIGNCSG_JAX_CACHE")
-    if _cache_dir:
+    if _cache_dir is None:
+        _cache_dir = _os.path.join(
+            _os.path.expanduser("~"), ".cache", "designcsg_tpu", "xla"
+        )
+    if _cache_dir not in ("", "0") and not _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR"
+    ):
         import jax as _jax
 
-        _os.makedirs(_cache_dir, exist_ok=True)
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        if _jax.config.jax_compilation_cache_dir is None:
+            _os.makedirs(_cache_dir, exist_ok=True)
+            _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
 except Exception:
     pass
 
