@@ -24,6 +24,7 @@ _tried = False
 
 _I64P = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _F32P = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_U8P = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 
 
 def _build() -> bool:
@@ -103,6 +104,20 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_longlong,
             _I64P,
             _F32P,
+        ]
+        lib.cells_to_tri_keys.restype = ctypes.c_longlong
+        lib.cells_to_tri_keys.argtypes = [
+            _I64P,
+            _U8P,
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+            _I64P,
+            _I64P,
+            ctypes.c_longlong,
+            _I64P,
+            _I64P,
+            ctypes.c_longlong,
+            _I64P,
         ]
         lib.weld.restype = ctypes.c_longlong
         lib.weld.argtypes = [_I64P, ctypes.c_longlong, _I64P, _I64P]
@@ -225,6 +240,41 @@ def mc_blocks(
         if n >= 0:
             return keys[: n * 3].reshape(n, 3), pos[: n * 9].reshape(n, 3, 3)
         capacity *= 2
+
+
+def cells_to_tri_keys(
+    cells_idx: np.ndarray, cells_cfg: np.ndarray, resolution: int
+) -> np.ndarray:
+    """Native twin of export.compact._cells_to_tri_keys_np: expands
+    (global cell index, config) pairs to i64[T, 3] global edge keys."""
+    from ..ops.marching_cubes import EDGE_AXIS, EDGE_ORIGIN, triangle_table
+
+    lib = _load()
+    assert lib is not None
+    tri_edges, n_tris = triangle_table()
+    cells_idx = np.ascontiguousarray(cells_idx, dtype=np.int64)
+    cells_cfg = np.ascontiguousarray(cells_cfg, dtype=np.uint8)
+    te = np.ascontiguousarray(tri_edges.reshape(-1))
+    nt = np.ascontiguousarray(n_tris)
+    ea = np.ascontiguousarray(EDGE_AXIS)
+    eo = np.ascontiguousarray(EDGE_ORIGIN.reshape(-1))
+    capacity = max(1 << 12, int(tri_edges.shape[1]) * cells_idx.shape[0])
+    keys = np.empty((capacity * 3,), dtype=np.int64)
+    n = lib.cells_to_tri_keys(
+        cells_idx,
+        cells_cfg,
+        cells_idx.shape[0],
+        int(resolution),
+        te,
+        nt,
+        tri_edges.shape[1],
+        ea,
+        eo,
+        capacity,
+        keys,
+    )
+    assert n >= 0
+    return keys[: n * 3].reshape(n, 3)
 
 
 def weld(keys: np.ndarray) -> tuple[int, np.ndarray, np.ndarray]:

@@ -200,6 +200,47 @@ long long mc_blocks(const float* corners,
     return count;
 }
 
+// Expand compacted (cell index, config) pairs into per-triangle global edge
+// keys — the host half of the on-device-compaction extraction path
+// (export/compact.py).  Returns the number of triangles written, or -1 if
+// capacity was insufficient.
+long long cells_to_tri_keys(const long long* cells_idx,  // [N] (z*res+y)*res+x
+                            const unsigned char* cells_cfg,  // [N]
+                            long long N,
+                            long long res,
+                            const long long* tri_edges,  // [256 * maxt * 3]
+                            const long long* n_tris,     // [256]
+                            long long maxt,
+                            const long long* edge_axis,    // [12]
+                            const long long* edge_origin,  // [12 * 3]
+                            long long capacity,
+                            long long* out_keys)  // [capacity * 3]
+{
+    const long long r1 = res + 1;
+    long long count = 0;
+    for (long long i = 0; i < N; i++) {
+        const long long idx = cells_idx[i];
+        const long long cz = idx / (res * res);
+        const long long cy = (idx / res) % res;
+        const long long cx = idx % res;
+        const int config = cells_cfg[i];
+        const long long nt = n_tris[config];
+        for (long long t = 0; t < nt; t++) {
+            if (count >= capacity) return -1;
+            for (int k = 0; k < 3; k++) {
+                const long long e = tri_edges[(config * maxt + t) * 3 + k];
+                const long long ax = edge_axis[e];
+                const long long gx = cx + edge_origin[e * 3 + 0];
+                const long long gy = cy + edge_origin[e * 3 + 1];
+                const long long gz = cz + edge_origin[e * 3 + 2];
+                out_keys[count * 3 + k] = ((ax * r1 + gz) * r1 + gy) * r1 + gx;
+            }
+            count++;
+        }
+    }
+    return count;
+}
+
 // Weld vertices by exact key: fills inverse[i] (vertex id per input key) and
 // first_idx[v] (input index of vertex v's first occurrence); returns the
 // number of unique vertices.
