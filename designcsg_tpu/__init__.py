@@ -18,11 +18,39 @@ import os as _os
 # process from a warm cache; steady-state dispatch unaffected).  Override the
 # location with DESIGNCSG_JAX_CACHE=<dir>, disable with DESIGNCSG_JAX_CACHE=0,
 # and an explicit JAX_COMPILATION_CACHE_DIR / prior jax config wins.
+def _machine_fingerprint() -> str:
+    """Stable per-machine tag mixed into the default cache path.
+
+    XLA's persistent cache keys AOT results by program only; a cache
+    directory shared across heterogeneous hosts (NFS home, migrated VM) can
+    load CPU code compiled for a different feature set — cpu_aot_loader
+    warns it "could lead to execution errors such as SIGILL".  Keying the
+    *directory* by (arch, CPU flags) makes the default safe everywhere; TPU
+    executables are keyed by device kind the same way.
+    """
+    import hashlib as _hashlib
+    import platform as _platform
+
+    tag = _platform.machine()
+    try:
+        with open("/proc/cpuinfo") as _fl:
+            for _line in _fl:
+                if _line.startswith(("flags", "Features")):
+                    tag += ":" + _line
+                    break
+    except OSError:
+        tag += ":" + _platform.processor()
+    return _hashlib.sha256(tag.encode()).hexdigest()[:12]
+
+
 try:  # pragma: no cover - best effort
     _cache_dir = _os.environ.get("DESIGNCSG_JAX_CACHE")
     if _cache_dir is None:
         _cache_dir = _os.path.join(
-            _os.path.expanduser("~"), ".cache", "designcsg_tpu", "xla"
+            _os.path.expanduser("~"),
+            ".cache",
+            "designcsg_tpu",
+            "xla-" + _machine_fingerprint(),
         )
     if _cache_dir not in ("", "0") and not _os.environ.get(
         "JAX_COMPILATION_CACHE_DIR"

@@ -43,7 +43,27 @@ class ExportConfig:
 
     ``bounding_box_half_diameter`` is stored in *world* units (the reference
     writes ``5.0*boundingBoxHalfDiameter``, DesignCSG.py:225).
+
+    ``minimum_octree_level`` / ``maximum_octree_level`` /
+    ``complex_surface_threshold`` drive the adaptive multi-resolution
+    extraction (``export_mesh(..., strategy="adaptive")``; export/adaptive.py)
+    — the counterpart of the reference octree's refine-on-complex-surface
+    descent (mesh.hpp:214-267).  The uniform strategies use ``grid_level``
+    only, as the reference's octree bottoms out there.
+
+    ``cache_subdivision`` / ``queries_before_gc`` / ``queries_before_free``
+    are accepted and serialized for exportConfig.txt format parity but have
+    no effect: they tune the reference's ISV point-query cache (ISV.hpp),
+    which dense tiled/active-block evaluation replaces outright (SURVEY.md
+    §7.1 — there is no point-at-a-time query path to cache).
     """
+
+    #: knobs kept only so exportConfig.txt round-trips; see class docstring.
+    FORMAT_PARITY_ONLY = (
+        "cache_subdivision",
+        "queries_before_gc",
+        "queries_before_free",
+    )
 
     bounding_box_half_diameter: float = 10.0  # world units (already x5)
     minimum_octree_level: int = 5
@@ -298,16 +318,11 @@ class SceneCompiler:
         if self.root.variable is None:
             raise ValueError("empty scene: the root has no children")
         export_variable = self.root.variable
-        allocator.allocate(name="R0")
+        allocator.allocate_scratch()
 
         commands = self.root.get_commands(allocator)
         commands.append(
-            _scene.Command(
-                "EXPORT",
-                export_variable,
-                _scene.Argument.null(),
-                _scene.Argument.null(),
-            )
+            _scene.Command("EXPORT", export_variable, _scene.NULL_ARG, _scene.NULL_ARG)
         )
         tape = np.asarray([c.as_tuple() for c in commands], dtype=np.int32)
 

@@ -48,22 +48,6 @@ class RenderConfig:
     march_overrelax: float = 1.0
 
 
-@dataclasses.dataclass(frozen=True)
-class GridConfig:
-    """Dense voxel-grid evaluation for export."""
-
-    resolution: int = 256  # points per axis
-    tile_size: int = 64  # leading-axis slab size per device step
-    center: Tuple[float, float, float] = (0.0, 0.0, 0.0)
-    half_diameter: float = 10.0  # world units
-
-
-@dataclasses.dataclass(frozen=True)
-class MeshConfig:
-    """Marching-cubes extraction + refinement (reference CMS equivalents)."""
-
-    grid_level: int = 8  # 2^g cells per axis
-    refine_steps: int = 50  # reference gradientDescentSteps
-    midpoint_vertices: bool = False  # True = reference parity (edge midpoints);
-    # False = linear interpolation along edges (better starting mesh)
-    refine_step_scale: float = 1.0
+# Mesh/grid extraction knobs live on compiler.ExportConfig (the reference's
+# exportConfig.txt schema) — there is deliberately no second config type for
+# the same concepts.

@@ -10,108 +10,56 @@ compiles the tree into the flat register-machine tape.
 
 from __future__ import annotations
 
-import dataclasses
-import enum
-from typing import List, Optional
+from typing import List, NamedTuple, Optional
 
 import numpy as np
 
 from .constants import OPCODE_VALUES
 
-
-class ArgumentType(enum.Enum):
-    IMMEDIATE = enum.auto()
-    ALLOCATION = enum.auto()
-
-
-@dataclasses.dataclass
-class Argument:
-    """A register, immediate, or null tape argument (scenecompiler.py:149-164)."""
-
-    type: ArgumentType
-    address: int
-
-    @staticmethod
-    def null() -> "Argument":
-        return Argument(type=ArgumentType.IMMEDIATE, address=-1)
-
-    @staticmethod
-    def immediate(v: int) -> "Argument":
-        return Argument(type=ArgumentType.IMMEDIATE, address=v)
+# Tape arguments are plain integers: a register index, an immediate (brush /
+# object bank index), or NULL for unused slots.  The reference wraps these in
+# an Argument/Allocator object layer (scenecompiler.py:145-224); the on-tape
+# encoding — which the byte-identical buildprocedure.txt goldens pin down —
+# is just the integer.
+NULL_ARG = -1
 
 
-@dataclasses.dataclass
-class Command:
-    """One scene-build instruction: ``opcode left right dest``."""
+class Command(NamedTuple):
+    """One scene-build instruction: ``opcode left right dest``.
+
+    ``left``/``right``/``dest`` are register indices or immediates depending
+    on the opcode (SURVEY.md Appendix A; parser DrawPane.cpp:355-371)."""
 
     command_code: str
-    left_argument: Argument
-    right_argument: Argument
-    destination: Argument
-
-    def __repr__(self):
-        return "{} {} {} {}".format(
-            self.command_code,
-            self.left_argument.address,
-            self.right_argument.address,
-            self.destination.address,
-        )
-
-    def __str__(self):
-        return "{} {} {} {}".format(
-            OPCODE_VALUES[self.command_code],
-            self.left_argument.address,
-            self.right_argument.address,
-            self.destination.address,
-        )
+    left: int
+    right: int
+    dest: int
 
     def as_tuple(self):
-        return (
-            OPCODE_VALUES[self.command_code],
-            self.left_argument.address,
-            self.right_argument.address,
-            self.destination.address,
-        )
+        return (OPCODE_VALUES[self.command_code], self.left, self.right, self.dest)
 
-
-class Incrementor:
-    def __init__(self):
-        self._count = 0
-
-    def count(self):
-        return self._count
-
-    def preincremented(self):
-        self._count += 1
-        return self._count
-
-    def postincremented(self):
-        self._count += 1
-        return self._count - 1
+    def __str__(self):
+        return "{} {} {} {}".format(*self.as_tuple())
 
 
 class Allocator:
-    """Linear register allocator (scenecompiler.py:203-224): one register per
-    internal tree node, plus scratch register R0."""
+    """Linear register allocation: one register per internal tree node, plus
+    the shared scratch register R0 (same register-file layout the reference
+    produces, scenecompiler.py:546-558 — allocation order is what the tape
+    goldens encode)."""
 
     def __init__(self):
-        self.next_free_address = Incrementor()
-        self.allocations = {}
+        self.num_registers = 0
+        self.R0: Optional[int] = None
 
-    def allocate(self, name: Optional[str] = None) -> Argument:
-        argument = Argument(
-            type=ArgumentType.ALLOCATION,
-            address=self.next_free_address.postincremented(),
-        )
-        if name is None:
-            name = "ALLOC_{}".format(argument.address)
-        self.allocations[name] = argument
-        setattr(self, name, argument)
-        return argument
+    def allocate(self) -> int:
+        register = self.num_registers
+        self.num_registers += 1
+        return register
 
-    @property
-    def num_registers(self) -> int:
-        return self.next_free_address.count()
+    def allocate_scratch(self) -> int:
+        self.R0 = self.allocate()
+        return self.R0
 
 
 class Component:
@@ -133,7 +81,7 @@ class Component:
         self.parent: Optional["Component"] = None
         # Assigned at commit time:
         self.unrolled_index: Optional[int] = None
-        self.variable: Optional[Argument] = None
+        self.variable: Optional[int] = None  # this subtree's result register
 
     # -- tree building -----------------------------------------------------
 
@@ -216,26 +164,21 @@ class Component:
             return commands
 
         commands.append(
-            Command(
-                "IMPORT",
-                Argument.immediate(self.brush.bank_index),
-                Argument.immediate(self.unrolled_index),
-                self.variable,
-            )
+            Command("IMPORT", self.brush.bank_index, self.unrolled_index, self.variable)
         )
         for child in self.children:
             if not child.children:
                 commands.append(
                     Command(
                         "IMPORT",
-                        Argument.immediate(child.brush.bank_index),
-                        Argument.immediate(child.unrolled_index),
+                        child.brush.bank_index,
+                        child.unrolled_index,
                         allocator.R0,
                     )
                 )
                 if child.subtractive:
                     commands.append(
-                        Command("NEGATE", allocator.R0, Argument.null(), allocator.R0)
+                        Command("NEGATE", allocator.R0, NULL_ARG, allocator.R0)
                     )
                     commands.append(
                         Command("MAX", self.variable, allocator.R0, self.variable)
@@ -248,7 +191,7 @@ class Component:
                 commands.extend(child.get_commands(allocator))
                 if child.subtractive:
                     commands.append(
-                        Command("NEGATE", child.variable, Argument.null(), allocator.R0)
+                        Command("NEGATE", child.variable, NULL_ARG, allocator.R0)
                     )
                     commands.append(
                         Command("MAX", self.variable, allocator.R0, self.variable)
