@@ -43,16 +43,36 @@ def _machine_fingerprint() -> str:
     return _hashlib.sha256(tag.encode()).hexdigest()[:12]
 
 
+def _probably_tpu_backend() -> bool:
+    """Cheap pre-initialization guess at whether this process targets a TPU.
+
+    The persistent cache's big win is on TPU/remote-compile backends (scene
+    programs take seconds-to-minutes to build through the tunnel); on pure
+    XLA:CPU it instead *loads AOT machine code*, and even same-machine loads
+    trip cpu_aot_loader feature-mismatch warnings (pseudo-features like
+    +prefer-no-gather aren't in the host's feature list).  Default the cache
+    on only when a TPU-ish platform is plausibly in play; DESIGNCSG_JAX_CACHE
+    =<dir> forces it on anywhere.
+    """
+    plat = _os.environ.get("JAX_PLATFORMS", "").lower()
+    if plat:
+        return any(p in plat for p in ("tpu", "axon", "proxy"))
+    if _os.environ.get("TPU_NAME") or _os.environ.get("TPU_WORKER_ID"):
+        return True
+    # The axon relay injects its plugin via a sitecustomize on PYTHONPATH.
+    return "axon" in _os.environ.get("PYTHONPATH", "")
+
+
 try:  # pragma: no cover - best effort
     _cache_dir = _os.environ.get("DESIGNCSG_JAX_CACHE")
-    if _cache_dir is None:
+    if _cache_dir is None and _probably_tpu_backend():
         _cache_dir = _os.path.join(
             _os.path.expanduser("~"),
             ".cache",
             "designcsg_tpu",
             "xla-" + _machine_fingerprint(),
         )
-    if _cache_dir not in ("", "0") and not _os.environ.get(
+    if _cache_dir and _cache_dir != "0" and not _os.environ.get(
         "JAX_COMPILATION_CACHE_DIR"
     ):
         import jax as _jax

@@ -98,6 +98,7 @@ def cmd_render(args):
 
 def cmd_export(args):
     from designcsg_tpu.export.pipeline import export_mesh
+    from designcsg_tpu.observability import ExportMonitor
 
     scene = load_design(args.design)
     config = scene.export_config
@@ -111,25 +112,26 @@ def cmd_export(args):
         )
     stl = args.stl or (os.path.splitext(args.design)[0].replace("/", "_") + ".stl")
 
-    def progress(stage, frac):
-        print(f"\r{stage:<28s} {frac*100:5.1f}%", end="", flush=True)
-
+    monitor = ExportMonitor(out=sys.stdout)
     t0 = time.time()
     mesh, report = export_mesh(
         scene,
         config,
         stl_path=stl,
         ply_path=args.ply,
-        progress=progress,
+        progress=monitor,
         resume_dir=args.resume_dir,
+        strategy=args.strategy,
     )
-    print()
     print(
         f"exported {report.num_triangles} triangles "
         f"({report.num_vertices} vertices) in {time.time()-t0:.1f}s"
     )
     for stage, secs in report.stage_seconds.items():
         print(f"  {stage:<14s} {secs:7.2f}s")
+    histogram = monitor.render_histogram(report.stats)
+    if histogram and args.histogram:
+        print(histogram)
     print(f"wrote {stl}" + (f" and {args.ply}" if args.ply else ""))
 
 
@@ -217,6 +219,16 @@ def main(argv=None):
     p.add_argument("--ply")
     p.add_argument("--grid-level", type=int)
     p.add_argument("--resume-dir")
+    p.add_argument(
+        "--strategy",
+        choices=["auto", "active", "dense", "compact", "adaptive"],
+        default="auto",
+    )
+    p.add_argument(
+        "--histogram",
+        action="store_true",
+        help="print the per-slab/per-level triangle histogram after export",
+    )
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("artifacts", help="emit reference-format IR files")

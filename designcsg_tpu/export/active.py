@@ -231,6 +231,8 @@ def extract_surface_active(
     progress: Optional[Callable[[str, float], None]] = None,
     use_native: Optional[bool] = None,
     device_mesh=None,
+    slab_store=None,
+    stats: Optional[dict] = None,
 ) -> Mesh:
     """March ``resolution^3`` cells over ``center ± half_diameter`` shipping
     only surface-active blocks to the host.  Produces the same triangle set
@@ -240,6 +242,9 @@ def extract_surface_active(
 
     Requires ``slab_cells | resolution``; callers fall back to the dense path
     otherwise.
+
+    ``slab_store`` / ``stats``: per-slab resume shards and triangle counts,
+    as in :func:`..ops.marching_cubes.extract_surface`.
     """
     res = int(resolution)
     slab = min(int(slab_cells), res)
@@ -258,36 +263,60 @@ def extract_surface_active(
     all_keys = []
     all_pos = []
     for z0 in range(0, res, slab):
-        vals = provider(lo, cell, z0, slab + 1, r1)
-        mask = np.asarray(_block_mask(vals, bz, by, bx))
-        bcoords = np.argwhere(mask)  # [(zb, yb, xb)] block indices
-        if bcoords.shape[0] == 0:
-            if progress is not None:
-                progress("extract", (z0 + slab) / res)
-            continue
-        # Local cell origins (z, y, x) for the device gather; global (x, y, z)
-        # for key/vertex assembly.
-        local = (bcoords * np.array([bz, by, bx])).astype(np.int32)
-        global_xyz = np.stack(
-            [local[:, 2], local[:, 1], local[:, 0] + z0], axis=-1
-        ).astype(np.int64)
-        K = local.shape[0]
-        for s in range(0, K, _MAX_GATHER):
-            chunk = local[s : s + _MAX_GATHER]
-            k = chunk.shape[0]
-            kpad = max(16, 1 << int(np.ceil(np.log2(k))))
-            if kpad != k:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((kpad - k, 3), np.int32)], axis=0
+        cached = slab_store.load(z0) if slab_store is not None else None
+        if cached is not None:
+            slab_keys = [cached["keys"]] if cached["keys"].shape[0] else []
+            slab_pos = [cached["pos"]] if cached["pos"].shape[0] else []
+        else:
+            slab_keys = []
+            slab_pos = []
+            vals = provider(lo, cell, z0, slab + 1, r1)
+            mask = np.asarray(_block_mask(vals, bz, by, bx))
+            bcoords = np.argwhere(mask)  # [(zb, yb, xb)] block indices
+            if bcoords.shape[0]:
+                # Local cell origins (z, y, x) for the device gather;
+                # global (x, y, z) for key/vertex assembly.
+                local = (bcoords * np.array([bz, by, bx])).astype(np.int32)
+                global_xyz = np.stack(
+                    [local[:, 2], local[:, 1], local[:, 0] + z0], axis=-1
+                ).astype(np.int64)
+                K = local.shape[0]
+                for s in range(0, K, _MAX_GATHER):
+                    chunk = local[s : s + _MAX_GATHER]
+                    k = chunk.shape[0]
+                    kpad = max(16, 1 << int(np.ceil(np.log2(k))))
+                    if kpad != k:
+                        chunk = np.concatenate(
+                            [chunk, np.zeros((kpad - k, 3), np.int32)], axis=0
+                        )
+                    blocks = np.asarray(
+                        _gather_blocks(vals, jnp.asarray(chunk), bz, by, bx)
+                    )[:k]
+                    gxyz = global_xyz[s : s + k]
+                    keys, pos = _host_blocks(blocks, gxyz, res, midpoint, use_native)
+                    if keys.shape[0]:
+                        slab_keys.append(keys.reshape(-1))
+                        slab_pos.append(pos.reshape(-1, 3))
+            if slab_store is not None:
+                slab_store.save(
+                    z0,
+                    keys=(
+                        np.concatenate(slab_keys)
+                        if slab_keys
+                        else np.zeros((0,), np.int64)
+                    ),
+                    pos=(
+                        np.concatenate(slab_pos)
+                        if slab_pos
+                        else np.zeros((0, 3), np.float32)
+                    ),
                 )
-            blocks = np.asarray(
-                _gather_blocks(vals, jnp.asarray(chunk), bz, by, bx)
-            )[:k]
-            gxyz = global_xyz[s : s + k]
-            keys, pos = _host_blocks(blocks, gxyz, res, midpoint, use_native)
-            if keys.shape[0]:
-                all_keys.append(keys.reshape(-1))
-                all_pos.append(pos.reshape(-1, 3))
+        all_keys.extend(slab_keys)
+        all_pos.extend(slab_pos)
+        if stats is not None:
+            stats.setdefault("slab_triangles", {})[z0] = (
+                int(sum(k.reshape(-1).shape[0] for k in slab_keys)) // 3
+            )
         if progress is not None:
             progress("extract", (z0 + slab) / res)
 

@@ -135,10 +135,17 @@ def extract_surface_compact(
     progress: Optional[Callable[[str, float], None]] = None,
     use_native: Optional[bool] = None,
     device_mesh=None,
+    slab_store=None,
+    stats: Optional[dict] = None,
 ) -> Mesh:
     """March ``resolution^3`` cells shipping only compacted (cell config,
     edge t) streams off device.  Same triangle set as the dense/active paths
-    (up to enumeration order)."""
+    (up to enumeration order).
+
+    ``slab_store`` / ``stats``: per-slab resume shards and triangle counts,
+    as in :func:`..ops.marching_cubes.extract_surface` (here ``stats`` counts
+    active *cells* per slab under ``slab_cells_active`` as well — triangle
+    counts are only known after host assembly)."""
     from .. import native
 
     if use_native is None:
@@ -165,37 +172,65 @@ def extract_surface_compact(
         2: (r1, r1),  # z-edges
     }
     for z0 in range(0, res, slab):
-        vals = provider(lo, cell, z0, slab + 1, r1)
-        nc, nx_, ny_, nz_ = (int(v) for v in jax.device_get(_slab_counts(vals)))
-        if nc == 0:
-            if progress is not None:
-                progress("extract", (z0 + slab) / res)
-            continue
-        cap_c, cap_e = _bucket(nc), _bucket(max(nx_, ny_, nz_))
-        cells, ex, ey, ez = _slab_compact(vals, cap_c, cap_e, midpoint)
-        (ci, cc), (exi, ext), (eyi, eyt), (ezi, ezt) = (
-            jax.device_get(cells),
-            jax.device_get(ex),
-            jax.device_get(ey),
-            jax.device_get(ez),
-        )
-        cells_idx.append(ci[:nc].astype(np.int64) + z0 * res * res)
-        cells_cfg.append(cc[:nc].astype(np.uint8))
-        for axis, (idx, t), count in (
-            (0, (exi, ext), nx_),
-            (1, (eyi, eyt), ny_),
-            (2, (ezi, ezt), nz_),
-        ):
-            ny, nx = edge_dims[axis]
-            arr_idx = idx[:count].astype(np.int64)
-            arr_t = t[:count]
-            gz = arr_idx // (ny * nx) + z0
-            rem = arr_idx % (ny * nx)
-            gy = rem // nx
-            gx = rem % nx
-            key = ((axis * r1 + gz) * r1 + gy) * r1 + gx
-            ekeys.append(key)
-            ets.append(arr_t.astype(np.float32))
+        cached = slab_store.load(z0) if slab_store is not None else None
+        if cached is not None:
+            ci_g = cached["cells_idx"]
+            cc_g = cached["cells_cfg"]
+            ek_g = cached["edge_keys"]
+            et_g = cached["edge_t"]
+        else:
+            vals = provider(lo, cell, z0, slab + 1, r1)
+            nc, nx_, ny_, nz_ = (
+                int(v) for v in jax.device_get(_slab_counts(vals))
+            )
+            slab_ek: List[np.ndarray] = []
+            slab_et: List[np.ndarray] = []
+            if nc == 0:
+                ci_g = np.zeros((0,), np.int64)
+                cc_g = np.zeros((0,), np.uint8)
+            else:
+                cap_c, cap_e = _bucket(nc), _bucket(max(nx_, ny_, nz_))
+                cells, ex, ey, ez = _slab_compact(vals, cap_c, cap_e, midpoint)
+                (ci, cc), (exi, ext), (eyi, eyt), (ezi, ezt) = (
+                    jax.device_get(cells),
+                    jax.device_get(ex),
+                    jax.device_get(ey),
+                    jax.device_get(ez),
+                )
+                ci_g = ci[:nc].astype(np.int64) + z0 * res * res
+                cc_g = cc[:nc].astype(np.uint8)
+                for axis, (idx, t), count in (
+                    (0, (exi, ext), nx_),
+                    (1, (eyi, eyt), ny_),
+                    (2, (ezi, ezt), nz_),
+                ):
+                    ny, nx = edge_dims[axis]
+                    arr_idx = idx[:count].astype(np.int64)
+                    arr_t = t[:count]
+                    gz = arr_idx // (ny * nx) + z0
+                    rem = arr_idx % (ny * nx)
+                    gy = rem // nx
+                    gx = rem % nx
+                    key = ((axis * r1 + gz) * r1 + gy) * r1 + gx
+                    slab_ek.append(key)
+                    slab_et.append(arr_t.astype(np.float32))
+            ek_g = (
+                np.concatenate(slab_ek) if slab_ek else np.zeros((0,), np.int64)
+            )
+            et_g = (
+                np.concatenate(slab_et) if slab_et else np.zeros((0,), np.float32)
+            )
+            if slab_store is not None:
+                slab_store.save(
+                    z0, cells_idx=ci_g, cells_cfg=cc_g, edge_keys=ek_g, edge_t=et_g
+                )
+        if ci_g.shape[0]:
+            cells_idx.append(ci_g)
+            cells_cfg.append(cc_g)
+            ekeys.append(ek_g)
+            ets.append(et_g)
+        if stats is not None:
+            stats.setdefault("slab_cells_active", {})[z0] = int(ci_g.shape[0])
         if progress is not None:
             progress("extract", (z0 + slab) / res)
 

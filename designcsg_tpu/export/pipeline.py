@@ -48,10 +48,47 @@ class ExportReport:
     sdf_evals: int
     stl_path: Optional[str] = None
     ply_path: Optional[str] = None
+    # Extraction telemetry (the reference's per-level triangle histogram,
+    # DesignCSG.cpp:896-924): per-slab triangle counts for the uniform
+    # strategies, per-octree-level counts for the adaptive strategy.
+    stats: dict = dataclasses.field(default_factory=dict)
 
     @property
     def total_seconds(self) -> float:
         return sum(self.stage_seconds.values())
+
+
+class SlabStore:
+    """Per-slab resume shards: each completed extraction slab persists as an
+    atomic ``.npz`` under ``directory`` keyed by (scene/config hash, z0); a
+    re-run after a crash evaluates only the missing slabs.  The reference
+    loses the whole <=30-min export on any crash (SURVEY.md §5.4,
+    DesignCSG.cpp:638-790 — one-shot worker thread)."""
+
+    def __init__(self, directory: str, key: str):
+        self.directory = directory
+        self.key = key
+        os.makedirs(directory, exist_ok=True)
+
+    def _path(self, z0: int) -> str:
+        return os.path.join(self.directory, f"slab_{self.key}_{z0:06d}.npz")
+
+    def load(self, z0: int) -> Optional[dict]:
+        path = self._path(z0)
+        if not os.path.exists(path):
+            return None
+        try:
+            with np.load(path) as data:
+                return {k: data[k] for k in data.files}
+        except Exception:
+            return None  # truncated/corrupt shard from a crash mid-write
+
+    def save(self, z0: int, **arrays) -> None:
+        path = self._path(z0)
+        tmp = path + ".tmp"
+        np.savez(tmp, **arrays)
+        # np.savez appends .npz to names without it
+        os.replace(tmp if os.path.exists(tmp) else tmp + ".npz", path)
 
 
 def autodetect_bounding_box_device(
@@ -180,22 +217,31 @@ def export_mesh(
 ) -> tuple[Mesh, ExportReport]:
     """Run the full export: autodetect -> extract -> refine -> write.
 
-    ``resume_dir`` caches the extracted (pre-refinement) mesh keyed by the
-    scene+config content hash; a re-run after a crash skips completed work.
+    ``resume_dir`` enables two-tier crash resume keyed by the scene+config
+    content hash: each completed extraction *slab* persists immediately
+    (:class:`SlabStore` — a crash mid-extract loses at most one slab), and
+    the complete pre-refinement mesh caches as well (re-runs skip assembly).
 
     ``strategy`` selects the extraction dataflow: ``"active"`` ships only
-    surface-active blocks off device (export/active.py), ``"dense"`` ships
-    whole corner slabs, ``"auto"`` picks active whenever the grid shape
-    allows it.
+    surface-active corner blocks off device (export/active.py), ``"compact"``
+    ships compacted (cell config, edge t) streams — the fewest bytes
+    (export/compact.py), ``"dense"`` ships whole corner slabs, ``"adaptive"``
+    runs the multi-resolution octree-equivalent (export/adaptive.py,
+    consuming min/max octree levels + complex_surface_threshold), ``"auto"``
+    picks active whenever the grid shape allows it.
     """
     config = export_config or scene.export_config or ExportConfig()
     evaluator = evaluator or BatchEvaluator(scene, sharded=sharded)
     stage_seconds: dict = {}
+    stats: dict = {}
     evals = 0
 
     def _tick(stage, frac):
         if progress is not None:
             progress(stage, frac)
+
+    if progress is not None and hasattr(progress, "attach_stats"):
+        progress.attach_stats(stats)
 
     t0 = time.time()
     if autodetect:
@@ -217,7 +263,12 @@ def export_mesh(
     t0 = time.time()
     _tick(ExportStage.EXTRACTING_SURFACE.name, 0.0)
 
+    slab = min(slab_cells, resolution)
+    if strategy == "auto":
+        strategy = "active" if resolution % slab == 0 else "dense"
+
     cache_path = None
+    slab_store = None
     mesh = None
     if resume_dir is not None:
         os.makedirs(resume_dir, exist_ok=True)
@@ -227,19 +278,33 @@ def export_mesh(
         key.update(np.asarray(center).tobytes())
         key.update(np.float64(half).tobytes())
         key.update(np.int64(resolution).tobytes())
-        cache_path = os.path.join(resume_dir, f"extract_{key.hexdigest()[:16]}.npz")
+        # Slab payload schema differs per strategy; key shards by it.
+        key.update(strategy.encode())
+        key.update(np.int64(slab).tobytes())
+        digest = key.hexdigest()[:16]
+        cache_path = os.path.join(resume_dir, f"extract_{digest}.npz")
         if os.path.exists(cache_path):
             data = np.load(cache_path)
             mesh = Mesh(vertices=data["vertices"], faces=data["faces"])
+        elif strategy in ("active", "dense", "compact"):
+            slab_store = SlabStore(resume_dir, digest)
 
     if mesh is None:
         extract_progress = lambda s, f: _tick(  # noqa: E731
             ExportStage.EXTRACTING_SURFACE.name, f
         )
-        slab = min(slab_cells, resolution)
-        if strategy == "auto":
-            strategy = "active" if resolution % slab == 0 else "dense"
-        if strategy == "active":
+        if strategy == "adaptive":
+            from .adaptive import extract_surface_adaptive
+
+            mesh = extract_surface_adaptive(
+                evaluator,
+                center,
+                half,
+                config,
+                progress=extract_progress,
+                stats=stats,
+            )
+        elif strategy == "active":
             # Active-block path (export/active.py): the per-block surface
             # mask reduces on device and only surface blocks cross the host
             # link — O(surface) transfer instead of O(volume).
@@ -259,6 +324,30 @@ def export_mesh(
                 slab_cells=slab,
                 progress=extract_progress,
                 device_mesh=device_mesh,
+                slab_store=slab_store,
+                stats=stats,
+            )
+        elif strategy == "compact":
+            # Compacted-stream path (export/compact.py): only (cell config,
+            # edge t) cross the host link — the fewest bytes per slab.
+            from .compact import extract_surface_compact
+
+            device_mesh = None
+            if sharded:
+                from ..parallel.mesh import make_mesh
+
+                device_mesh = make_mesh()
+            mesh = extract_surface_compact(
+                evaluator,
+                center,
+                half,
+                resolution,
+                midpoint=False,
+                slab_cells=slab,
+                progress=extract_progress,
+                device_mesh=device_mesh,
+                slab_store=slab_store,
+                stats=stats,
             )
         else:
             corner_provider = None
@@ -292,6 +381,8 @@ def export_mesh(
                 slab_cells=slab_cells,
                 progress=extract_progress,
                 corner_provider=corner_provider,
+                slab_store=slab_store,
+                stats=stats,
             )
         evals += (resolution + 1) ** 2 * (resolution + slab_cells)
         if cache_path is not None:
@@ -326,5 +417,6 @@ def export_mesh(
         sdf_evals=evals,
         stl_path=stl_path,
         ply_path=ply_path,
+        stats=stats,
     )
     return mesh, report

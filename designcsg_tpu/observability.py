@@ -72,14 +72,36 @@ def profile_trace(log_dir: str, host_tracer_level: int = 2):
 
 class ExportMonitor:
     """Terminal progress renderer for export_mesh's progress callback —
-    the reference's monitor thread (stage state machine + elapsed time),
-    minus the thread: export_mesh invokes it inline."""
+    the reference's monitor thread (stage state machine + elapsed time +
+    per-level triangle histogram, DesignCSG.cpp:839-1025), minus the thread:
+    export_mesh invokes it inline and shares its extraction-telemetry dict
+    via :meth:`attach_stats`."""
 
     def __init__(self, out=sys.stderr, min_interval: float = 0.25):
         self._out = out
         self._t0 = time.time()
         self._last = 0.0
         self._min_interval = min_interval
+        self._stats: Optional[dict] = None
+
+    def attach_stats(self, stats: dict):
+        """export_mesh hands over its live telemetry dict (mutated by the
+        extractors as slabs/levels complete)."""
+        self._stats = stats
+
+    def _count_suffix(self) -> str:
+        if not self._stats:
+            return ""
+        if "level_triangles" in self._stats:  # adaptive strategy
+            total = sum(self._stats["level_triangles"].values())
+            return f" {total:>9d} tris"
+        if "slab_triangles" in self._stats:
+            total = sum(self._stats["slab_triangles"].values())
+            return f" {total:>9d} tris"
+        if "slab_cells_active" in self._stats:  # compact strategy
+            total = sum(self._stats["slab_cells_active"].values())
+            return f" {total:>9d} cells"
+        return ""
 
     def __call__(self, stage: str, frac: float):
         now = time.time()
@@ -91,7 +113,29 @@ class ExportMonitor:
         bar = "#" * bar_n + "-" * (30 - bar_n)
         self._out.write(
             f"\r[{elapsed:7.1f}s] {stage:<26s} [{bar}] {frac*100:5.1f}%"
+            f"{self._count_suffix()}"
         )
         if frac >= 1.0:
             self._out.write("\n")
         self._out.flush()
+
+    def render_histogram(self, stats: Optional[dict] = None) -> str:
+        """Post-run histogram table — the reference prints triangle counts
+        per octree level during export (DesignCSG.cpp:896-924); the uniform
+        strategies histogram per slab instead."""
+        stats = stats if stats is not None else (self._stats or {})
+        if "level_triangles" in stats:
+            items = sorted(stats["level_triangles"].items())
+            label = "level"
+        elif "slab_triangles" in stats:
+            items = sorted(stats["slab_triangles"].items())
+            label = "slab z0"
+        else:
+            return ""
+        total = max(1, sum(c for _, c in items))
+        width = 40
+        lines = [f"{label:>8s}  {'triangles':>10s}"]
+        for k, c in items:
+            bar = "#" * max(0, int(round(width * c / total)))
+            lines.append(f"{k:>8d}  {c:>10d}  {bar}")
+        return "\n".join(lines)

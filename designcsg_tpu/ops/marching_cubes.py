@@ -311,6 +311,8 @@ def extract_surface(
     progress: Optional[Callable[[str, float], None]] = None,
     corner_provider: Optional[Callable[[int, int], np.ndarray]] = None,
     use_native: Optional[bool] = None,
+    slab_store=None,
+    stats: Optional[dict] = None,
 ) -> Mesh:
     """March a ``resolution^3`` cell grid over the box ``center ± half_diameter``.
 
@@ -323,6 +325,15 @@ def extract_surface(
     ``corner_provider(z0, sz) -> f32[sz+1, res+1, res+1]`` overrides the
     point-based evaluation — the Pallas grid kernel synthesizes coordinates
     on-device, so no host point buffers exist at all on that path.
+
+    ``slab_store`` (export/pipeline.py:SlabStore duck type) persists each
+    slab's (keys, pos) as it completes and short-circuits evaluation for
+    slabs already on disk — crash-resumable extraction at slab granularity
+    (the reference loses the whole export on a crash, SURVEY.md §5.4).
+
+    ``stats`` (mutated in place) gains ``slab_triangles[z0] = count`` — the
+    per-slab analog of the reference's per-octree-level triangle histogram
+    (DesignCSG.cpp:896-924).
     """
     from .. import native
 
@@ -344,26 +355,34 @@ def extract_surface(
     z0 = 0
     while z0 < res:
         sz = min(slab_cells, res - z0)
-        if corner_provider is not None:
-            vals = np.asarray(corner_provider(z0, sz))
+        cached = slab_store.load(z0) if slab_store is not None else None
+        if cached is not None:
+            keys, pos = cached["keys"], cached["pos"]
         else:
-            zz = zs[z0 : z0 + sz + 1]
-            grid = np.stack(
-                np.meshgrid(zz, ys, xs, indexing="ij"), axis=-1
-            )  # [sz+1, r1, r1, 3] in (z, y, x) order
-            pts = np.stack(
-                [grid[..., 2], grid[..., 1], grid[..., 0]], axis=-1
-            ).reshape(-1, 3)
-            vals = np.asarray(sdf_eval(pts.astype(np.float32))).reshape(
-                sz + 1, r1, r1
-            )
-        if use_native:
-            keys, pos = native.mc_slab(vals, z0, midpoint)
-        else:
-            keys, pos = _slab_triangles(vals, z0, res, midpoint)
+            if corner_provider is not None:
+                vals = np.asarray(corner_provider(z0, sz))
+            else:
+                zz = zs[z0 : z0 + sz + 1]
+                grid = np.stack(
+                    np.meshgrid(zz, ys, xs, indexing="ij"), axis=-1
+                )  # [sz+1, r1, r1, 3] in (z, y, x) order
+                pts = np.stack(
+                    [grid[..., 2], grid[..., 1], grid[..., 0]], axis=-1
+                ).reshape(-1, 3)
+                vals = np.asarray(sdf_eval(pts.astype(np.float32))).reshape(
+                    sz + 1, r1, r1
+                )
+            if use_native:
+                keys, pos = native.mc_slab(vals, z0, midpoint)
+            else:
+                keys, pos = _slab_triangles(vals, z0, res, midpoint)
+            if slab_store is not None:
+                slab_store.save(z0, keys=keys, pos=pos)
         if keys.shape[0]:
             all_keys.append(keys.reshape(-1))
             all_pos.append(pos.reshape(-1, 3))
+        if stats is not None:
+            stats.setdefault("slab_triangles", {})[z0] = int(keys.shape[0])
         if progress is not None:
             progress("extract", (z0 + sz) / res)
         z0 += sz

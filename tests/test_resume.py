@@ -1,0 +1,195 @@
+"""Per-slab export resume (export/pipeline.py:SlabStore): a crash
+mid-extraction loses at most one slab; the re-run evaluates only the missing
+slabs and produces an identical mesh.  (The reference loses the whole
+<=30-minute export on any crash — DesignCSG.cpp:638-790 runs extraction in a
+one-shot worker thread with no persistence; SURVEY.md §5.4.)"""
+
+import numpy as np
+import pytest
+
+import designs
+from designcsg_tpu.compiler import ExportConfig
+from designcsg_tpu.evaluator import BatchEvaluator
+from designcsg_tpu.export.pipeline import SlabStore, export_mesh
+
+
+@pytest.fixture(scope="module")
+def design1():
+    return designs.get_design("design1")
+
+
+class CrashAfter:
+    """Progress callback that raises once extraction passes a fraction."""
+
+    def __init__(self, frac):
+        self.frac = frac
+
+    def __call__(self, stage, frac):
+        if stage == "EXTRACTING_SURFACE" and frac >= self.frac:
+            raise RuntimeError("simulated crash")
+
+
+class CountingEvaluator(BatchEvaluator):
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.calls = 0
+        self.points = 0
+
+    def eval_sdf_at_points(self, points):
+        self.calls += 1
+        self.points += len(points)
+        return super().eval_sdf_at_points(points)
+
+
+CFG = ExportConfig(
+    bounding_box_half_diameter=10.0, grid_level=5, gradient_descent_steps=2
+)
+
+
+@pytest.mark.parametrize("strategy", ["dense", "active", "compact"])
+def test_crash_resume_identical_mesh(design1, strategy, tmp_path):
+    resume = str(tmp_path / strategy)
+
+    # Reference run, no resume dir.
+    ref_mesh, _ = export_mesh(
+        design1, CFG, autodetect=False, strategy=strategy, slab_cells=8
+    )
+
+    # Crash halfway through extraction.
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        export_mesh(
+            design1,
+            CFG,
+            autodetect=False,
+            strategy=strategy,
+            slab_cells=8,
+            resume_dir=resume,
+            progress=CrashAfter(0.5),
+        )
+    import glob
+    import os
+
+    shards = glob.glob(os.path.join(resume, "slab_*.npz"))
+    assert 0 < len(shards) < 4, "crash at 50% should leave 1-3 of 4 slab shards"
+
+    # Re-run completes and matches the uninterrupted mesh exactly.
+    mesh, report = export_mesh(
+        design1,
+        CFG,
+        autodetect=False,
+        strategy=strategy,
+        slab_cells=8,
+        resume_dir=resume,
+    )
+    np.testing.assert_array_equal(mesh.faces, ref_mesh.faces)
+    np.testing.assert_allclose(mesh.vertices, ref_mesh.vertices, atol=1e-6)
+
+
+def test_resume_skips_completed_slabs(design1, tmp_path):
+    """After a full extraction, a second run in the same resume dir performs
+    ZERO dense-path SDF evaluations during extraction (every slab loads from
+    its shard; the whole-mesh cache then skips even that)."""
+    resume = str(tmp_path / "skip")
+    ev1 = CountingEvaluator(design1)
+    mesh1, _ = export_mesh(
+        design1,
+        CFG,
+        evaluator=ev1,
+        autodetect=False,
+        strategy="dense",
+        slab_cells=8,
+        resume_dir=resume,
+    )
+    assert ev1.calls > 0
+
+    # Poisoned evaluator: any extraction-time SDF call fails the test.
+    ev2 = CountingEvaluator(design1)
+    first_total = ev2.points
+    mesh2, _ = export_mesh(
+        design1,
+        CFG,
+        evaluator=ev2,
+        autodetect=False,
+        strategy="dense",
+        slab_cells=8,
+        resume_dir=resume,
+    )
+    assert ev2.points == first_total == 0  # refine runs on-device, not here
+    np.testing.assert_array_equal(mesh1.faces, mesh2.faces)
+    np.testing.assert_allclose(mesh1.vertices, mesh2.vertices, atol=1e-6)
+
+
+def test_partial_resume_counts_points(design1, tmp_path):
+    """Pre-populate 2 of 4 slabs via a crashed run; the resumed run ships
+    only the remaining slabs' corner points through the evaluator."""
+    resume = str(tmp_path / "count")
+    with pytest.raises(RuntimeError):
+        export_mesh(
+            design1,
+            CFG,
+            autodetect=False,
+            strategy="dense",
+            slab_cells=8,
+            resume_dir=resume,
+            progress=CrashAfter(0.5),
+        )
+    import glob
+    import os
+
+    done = len(glob.glob(os.path.join(resume, "slab_*.npz")))
+    assert done >= 1
+
+    ev = CountingEvaluator(design1)
+    export_mesh(
+        design1,
+        CFG,
+        evaluator=ev,
+        autodetect=False,
+        strategy="dense",
+        slab_cells=8,
+        resume_dir=resume,
+    )
+    res = 1 << CFG.grid_level
+    r1 = res + 1
+    full_points = 4 * 9 * r1 * r1  # 4 slabs x 9 corner planes each
+    expected = (4 - done) * 9 * r1 * r1
+    assert ev.points == expected < full_points
+
+
+def test_slab_store_atomicity(tmp_path):
+    """A truncated shard (crash mid-write) is treated as absent, not fatal."""
+    store = SlabStore(str(tmp_path), "deadbeef")
+    store.save(0, keys=np.arange(6, dtype=np.int64).reshape(2, 3))
+    assert store.load(0) is not None
+    # Corrupt it.
+    path = store._path(0)
+    with open(path, "wb") as fl:
+        fl.write(b"PK\x03\x04garbage")
+    assert store.load(0) is None
+
+
+def test_mesh_cache_still_works(design1, tmp_path):
+    """The whole-mesh cache layer sits above the slab shards: a completed
+    export re-run loads one npz and skips slab IO entirely."""
+    resume = str(tmp_path / "mesh")
+    mesh1, _ = export_mesh(
+        design1,
+        CFG,
+        autodetect=False,
+        strategy="active",
+        slab_cells=8,
+        resume_dir=resume,
+    )
+    import glob
+    import os
+
+    assert glob.glob(os.path.join(resume, "extract_*.npz"))
+    mesh2, _ = export_mesh(
+        design1,
+        CFG,
+        autodetect=False,
+        strategy="active",
+        slab_cells=8,
+        resume_dir=resume,
+    )
+    np.testing.assert_array_equal(mesh1.faces, mesh2.faces)
