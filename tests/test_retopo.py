@@ -117,3 +117,57 @@ def test_retopologize_noop_on_uniform_mesh():
     healed = retopologize(mesh, np.zeros(3) - 2.0, 4.0 / 32)
     assert healed.num_faces == mesh.num_faces
     assert abs(healed.surface_area() - mesh.surface_area()) < 1e-4
+
+
+def test_boundary_edges_and_stitch_loops():
+    """A square hole in a flat sheet: boundary_edges finds its 4 directed
+    edges; stitch_boundary_loops caps it with consistently wound triangles."""
+    from designcsg_tpu.export.retopo import boundary_edges, stitch_boundary_loops
+
+    # 4x4 vertex sheet (z=0), 18 triangles, minus the 2 covering the center
+    # cell -> a square hole bounded by verts 5, 6, 10, 9.
+    xs, ys = np.meshgrid(np.arange(4.0), np.arange(4.0), indexing="xy")
+    verts = np.stack([xs.ravel(), ys.ravel(), np.zeros(16)], axis=-1)
+    faces = []
+    for j in range(3):
+        for i in range(3):
+            if (i, j) == (1, 1):
+                continue
+            a = j * 4 + i
+            faces.append((a, a + 1, a + 5))
+            faces.append((a, a + 5, a + 4))
+    mesh = Mesh(vertices=verts, faces=np.asarray(faces, np.int64))
+    be = boundary_edges(mesh)
+    hole = {tuple(sorted(e)) for e in be if set(e) <= {5, 6, 10, 9}}
+    assert len(hole) == 4
+
+    stitched = stitch_boundary_loops(mesh)
+    sbe = boundary_edges(stitched)
+    # Hole capped; the sheet's outer rim touches nothing else and stays open
+    # only if it exceeds max_loop -- here it's 12 edges, so it caps too.
+    assert not any(set(e) <= {5, 6, 10, 9} for e in sbe)
+    # The hole-cap faces wind consistently with the sheet (+z normals).
+    added = stitched.faces[mesh.faces.shape[0] :]
+    caps = [t for t in added if set(map(int, t)) <= {5, 6, 9, 10}]
+    assert len(caps) == 2
+    for t in caps:
+        a, b, c = verts[t[0]], verts[t[1]], verts[t[2]]
+        assert np.cross(b - a, c - a)[2] > 0
+
+
+def test_stitch_skips_domain_boundary():
+    """An open boundary lying on the domain box is a clip edge, not a crack:
+    left open."""
+    from designcsg_tpu.export.retopo import boundary_edges, stitch_boundary_loops
+
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], dtype=np.float64
+    )
+    faces = np.array([[0, 1, 2], [0, 2, 3]], dtype=np.int64)
+    mesh = Mesh(vertices=verts, faces=faces)
+    out = stitch_boundary_loops(
+        mesh, domain_lo=np.zeros(3), domain_hi=np.array([1.0, 1.0, 2.0])
+    )
+    assert out.num_faces == 2  # all boundary verts on the z=0 face... but
+    # z=0 == domain_lo[2], so the whole loop sits on the domain box.
+    assert boundary_edges(out).shape[0] == 4
