@@ -46,6 +46,13 @@ class RenderConfig:
     # setting.  Hit points agree to sdf_epsilon, so images match the
     # reference render to sub-pixel shading differences at silhouettes.
     march_overrelax: float = 1.0
+    # March engine selection: None = auto (the fused Pallas ray-march kernel
+    # whenever the backend is TPU, the scene has kernel-twin brushes, and
+    # march_overrelax == 1); True forces it (interpret mode off-TPU — slow,
+    # for tests); False forces the jnp while_loop march.  Gradient semantics
+    # are identical either way: every march runs under stop_gradient with
+    # IFT/soft-silhouette reattachment, so the fit harness rides the kernel.
+    use_pallas_march: Optional[bool] = None
 
 
 # Mesh/grid extraction knobs live on compiler.ExportConfig (the reference's

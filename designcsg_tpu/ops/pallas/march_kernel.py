@@ -29,13 +29,161 @@ from jax.experimental.pallas import tpu as pltpu
 from ...brushes import EvalContext
 from ...compiler import CompiledScene, SceneArrays
 from ...config import RenderConfig
-from ...constants import AXES_SHADE_RADIUS, INITIAL_SCALE
+from ...constants import AXES_SHADE_RADIUS, INITIAL_SCALE, MAX_DISTANCE
 from .brushes_kernel import kernel_brushes_for_scene, kernel_materials_for_scene
 from .sdf_kernel import _bank_inputs, _bank_specs
 from .tape import make_component_tape, smem_bank_reader
 
 TILE_H = 8
 TILE_W = 128
+
+
+def make_pallas_ray_march(
+    scene: CompiledScene,
+    config: Optional[RenderConfig] = None,
+    interpret: bool = False,
+):
+    """Batched ray-march kernel:
+    ``ray_march(arrays, o_proj f32[3], rays f32[..., 3]) -> (d, vmin)`` with
+    ``d f32[...]`` the signed hit distance (-1 on miss) and ``vmin
+    f32[..., 3]`` each ray's closest-approach point — exactly the pair the
+    differentiable render needs (ops/raymarch.py): the march itself runs
+    under stop_gradient with IFT/soft-silhouette gradient reattachment, so
+    this forward-only kernel IS the fit harness's fast path.  Semantics
+    match ops.raymarch.make_march(return_closest=True) (k1.cl:420-470).
+
+    Unlike :func:`make_pallas_renderer` the rays are an *input* (any batch
+    shape), so shard_map can hand each device its own ray block.  Tiles are
+    (8, 128) = 1024 rays with per-tile early exit.  Plain (omega == 1)
+    stepping only — the differentiable paths use exact reference stepping.
+    """
+    if config is None:
+        config = RenderConfig(gizmo=False)
+    tape_eval = make_component_tape(scene, gizmo=config.gizmo)
+    eps = config.sdf_epsilon
+    tol = config.march_tolerance
+    max_d = config.max_distance
+    max_steps = config.max_steps
+
+    SUB_R = 8  # rows per tile: 1024 rays per early-exit group
+
+    def kernel(
+        scal_ref, pos_ref, right_ref, up_ref, fwd_ref, ad_ref,
+        rx_ref, ry_ref, rz_ref,
+        d_out, vx_out, vy_out, vz_out,
+    ):
+        bank = smem_bank_reader(pos_ref, right_ref, up_ref, fwd_ref)
+        ctx = EvalContext(ad=ad_ref)
+
+        def sdf(x, y, z):
+            return tape_eval(x, y, z, bank, ctx)
+
+        ox, oy, oz = scal_ref[0], scal_ref[1], scal_ref[2]
+        n_valid = scal_ref[3]
+        rx = rx_ref[:]
+        ry = ry_ref[:]
+        rz = rz_ref[:]
+        i = pl.program_id(0)
+        r = jax.lax.broadcasted_iota(jnp.int32, (SUB_R, TILE_W), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (SUB_R, TILE_W), 1)
+        idx = ((i * SUB_R + r) * TILE_W + c).astype(jnp.float32)
+
+        zero = rx * 0.0
+        vx0 = zero + ox
+        vy0 = zero + oy
+        vz0 = zero + oz
+        d0 = zero
+        hit0 = zero
+        # Padding rays start as misses so a ragged tail tile exits fast.
+        miss0 = jnp.where(idx < n_valid, 0.0, 1.0)
+        smin0 = zero + MAX_DISTANCE
+        vmx0, vmy0, vmz0 = vx0, vy0, vz0
+
+        def cond(state):
+            step = state[0]
+            hit, miss = state[5], state[6]
+            return jnp.logical_and(step < max_steps, jnp.min(hit + miss) < 0.5)
+
+        def body(state):
+            step, vx, vy, vz, d, hit, miss, smin, vmx, vmy, vmz = state
+            active = (1.0 - hit) * (1.0 - miss)
+            s = sdf(vx, vy, vz) * tol
+            closer = active * jnp.where(s < smin, 1.0, 0.0)
+            smin = jnp.where(closer > 0.5, s, smin)
+            vmx = jnp.where(closer > 0.5, vx, vmx)
+            vmy = jnp.where(closer > 0.5, vy, vmy)
+            vmz = jnp.where(closer > 0.5, vz, vmz)
+            new_hit = active * jnp.where(s < eps, 1.0, 0.0)
+            advance = active * (1.0 - new_hit)
+            vx = vx + advance * s * rx
+            vy = vy + advance * s * ry
+            vz = vz + advance * s * rz
+            d = d + advance * s
+            new_miss = advance * jnp.where(d > max_d, 1.0, 0.0)
+            return (
+                step + 1, vx, vy, vz, d,
+                jnp.maximum(hit, new_hit), jnp.maximum(miss, new_miss),
+                smin, vmx, vmy, vmz,
+            )
+
+        state = (
+            jnp.int32(0), vx0, vy0, vz0, d0, hit0, miss0,
+            smin0, vmx0, vmy0, vmz0,
+        )
+        state = jax.lax.while_loop(cond, body, state)
+        _, _, _, _, d, hit, _, _, vmx, vmy, vmz = state
+        d_out[:] = jnp.where(hit > 0.5, d, -1.0)
+        vx_out[:] = vmx
+        vy_out[:] = vmy
+        vz_out[:] = vmz
+
+    tile_rays = SUB_R * TILE_W
+
+    @jax.jit
+    def ray_march(arrays: SceneArrays, o_proj, rays):
+        batch = rays.shape[:-1]
+        flat = rays.reshape(-1, 3).astype(jnp.float32)
+        n = flat.shape[0]
+        pad = (-n) % tile_rays
+        if pad:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad, 3), jnp.float32)], axis=0
+            )
+        rows = flat.shape[0] // TILE_W
+        scalars = jnp.concatenate(
+            [
+                jnp.asarray(o_proj, jnp.float32).reshape(3),
+                jnp.float32(n).reshape(1),
+            ]
+        )
+        plane = pl.BlockSpec(
+            (SUB_R, TILE_W), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        out_s = jax.ShapeDtypeStruct((rows, TILE_W), jnp.float32)
+        d, vmx, vmy, vmz = pl.pallas_call(
+            kernel,
+            grid=(rows // SUB_R,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + _bank_specs()
+            + [plane, plane, plane],
+            out_specs=(plane, plane, plane, plane),
+            out_shape=(out_s, out_s, out_s, out_s),
+            interpret=interpret,
+        )(
+            scalars,
+            *_bank_inputs(arrays),
+            flat[:, 0].reshape(rows, TILE_W),
+            flat[:, 1].reshape(rows, TILE_W),
+            flat[:, 2].reshape(rows, TILE_W),
+        )
+        d = d.reshape(-1)[:n].reshape(batch)
+        vmin = jnp.stack(
+            [vmx.reshape(-1)[:n], vmy.reshape(-1)[:n], vmz.reshape(-1)[:n]],
+            axis=-1,
+        ).reshape(batch + (3,))
+        return d, vmin
+
+    return ray_march
 
 
 def make_pallas_renderer(

@@ -63,9 +63,35 @@ def _project(v, rgt, upp, fwd):
     )
 
 
+def _maybe_pallas_ray_march(scene: CompiledScene, config: RenderConfig):
+    """The fused Pallas batched ray-march when eligible, else None.
+
+    Auto (``use_pallas_march=None``): TPU backend + kernel-twin brushes +
+    plain stepping.  Explicit True runs in interpret mode off-TPU so tests
+    exercise the same program on CPU."""
+    want = getattr(config, "use_pallas_march", None)
+    if want is False or float(getattr(config, "march_overrelax", 1.0)) > 1.0:
+        return None
+    from .pallas import supports_scene
+
+    if not supports_scene(scene):
+        return None
+    on_tpu = jax.default_backend() == "tpu"
+    if want is None and not on_tpu:
+        return None
+    from .pallas.march_kernel import make_pallas_ray_march
+
+    return make_pallas_ray_march(scene, config, interpret=not on_tpu)
+
+
 def make_march(scene: CompiledScene, config: RenderConfig):
     """Build ``march(origins, dirs, arrays) -> d`` — signed hit distance along
-    the (unnormalized) ray; -1 on miss (k1.cl:420-470)."""
+    the (unnormalized) ray; -1 on miss (k1.cl:420-470).
+
+    When the fused Pallas ray-march kernel is eligible (see
+    :func:`_maybe_pallas_ray_march`) it replaces the jnp while_loop: the
+    whole march runs in one kernel launch with per-1024-ray-tile early exit
+    instead of a full-batch all() condition per step."""
     sdf = make_primary_sdf(scene, gizmo=config.gizmo)
     eps = config.sdf_epsilon
     tol = config.march_tolerance
@@ -74,9 +100,19 @@ def make_march(scene: CompiledScene, config: RenderConfig):
     omega = float(getattr(config, "march_overrelax", 1.0))
     if omega > 1.0:
         return _make_overrelaxed_march(sdf, config)
+    pallas_march = _maybe_pallas_ray_march(scene, config)
 
     def march(origins, dirs, arrays: SceneArrays, return_closest: bool = False):
         # origins/dirs already projected into the camera frame.
+        if pallas_march is not None and jnp.shape(origins) == (3,):
+            # Forward-only engine swap: inputs are frozen so reverse mode
+            # never reaches the kernel (callers reattach gradients via IFT /
+            # soft silhouette at the returned points).
+            sg = jax.lax.stop_gradient
+            d, vmin = pallas_march(
+                jax.tree_util.tree_map(sg, arrays), sg(origins), sg(dirs)
+            )
+            return (d, vmin) if return_closest else d
         batch = dirs.shape[:-1]
         v0 = jnp.broadcast_to(origins, dirs.shape).astype(dirs.dtype)
         d0 = jnp.zeros(batch, dtype=dirs.dtype)

@@ -125,3 +125,95 @@ def test_march_kernel_overrelaxed_matches_jnp(design1):
     )
     assert np.abs(ours - ref).max() < 1e-3
     assert (np.abs(ours - ref) > 1e-4).mean() < 0.01
+
+
+def test_ray_march_kernel_matches_jnp(design1):
+    """The batched ray-march kernel (d, closest-approach) must match the jnp
+    while_loop march on real camera rays."""
+    from designcsg_tpu.ops.pallas.march_kernel import make_pallas_ray_march
+    from designcsg_tpu.ops.raymarch import _project, make_march, ray_directions
+
+    config = RenderConfig(width=128, height=32, max_steps=128, gizmo=False)
+    campos, rgt, upp, fwd = (jnp.asarray(a) for a in Camera.initial().as_arrays())
+    o = _project(campos, rgt, upp, fwd)
+    r = _project(ray_directions(config), rgt, upp, fwd)
+    arrays = as_device_arrays(design1.arrays)
+
+    pk = make_pallas_ray_march(design1, config, interpret=True)
+    d_p, vmin_p = pk(arrays, o, r)
+    d_j, vmin_j = make_march(design1, config)(o, r, arrays, return_closest=True)
+
+    d_p, d_j = np.asarray(d_p), np.asarray(d_j)
+    assert ((d_p > 0) == (d_j > 0)).all()  # identical hit sets
+    np.testing.assert_allclose(d_p, d_j, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vmin_p), np.asarray(vmin_j), atol=1e-5)
+
+
+def test_make_march_engine_swap(design1):
+    """use_pallas_march=True swaps the march engine (pallas_call in the
+    jaxpr); auto off-TPU keeps the jnp while_loop."""
+    import dataclasses
+
+    from designcsg_tpu.ops.raymarch import _project, make_march, ray_directions
+
+    config = RenderConfig(width=128, height=8, max_steps=16, gizmo=False)
+    campos, rgt, upp, fwd = (jnp.asarray(a) for a in Camera.initial().as_arrays())
+    o = _project(campos, rgt, upp, fwd)
+    r = _project(ray_directions(config), rgt, upp, fwd)
+
+    forced = make_march(design1, dataclasses.replace(config, use_pallas_march=True))
+    auto = make_march(design1, config)
+    jp_forced = str(jax.make_jaxpr(lambda a, o_, r_: forced(o_, r_, a))(
+        design1.arrays, o, r
+    ))
+    jp_auto = str(jax.make_jaxpr(lambda a, o_, r_: auto(o_, r_, a))(
+        design1.arrays, o, r
+    ))
+    assert "pallas_call" in jp_forced
+    assert "pallas_call" not in jp_auto  # CPU backend -> jnp path
+
+
+def test_fit_gradients_match_between_engines(design1):
+    """The fit harness on the Pallas march engine produces the same loss and
+    parameter gradients as the jnp engine (VERDICT round 1 #3: the fit's
+    fast path)."""
+    import dataclasses
+
+    from designcsg_tpu.parallel.fit import make_fit_harness
+
+    config = RenderConfig(
+        width=64,
+        height=32,
+        max_steps=96,
+        differentiable=True,
+        soft_silhouette_bandwidth=0.02,
+        gizmo=False,
+    )
+    campos, rgt, upp, fwd = (jnp.asarray(a) for a in Camera.initial().as_arrays())
+
+    h_jnp = make_fit_harness(design1, config, use_mesh=False)
+    h_pal = make_fit_harness(
+        design1,
+        dataclasses.replace(config, use_pallas_march=True),
+        use_mesh=False,
+    )
+    target = h_jnp.render_target(design1.arrays, campos, rgt, upp, fwd)
+
+    start = np.asarray(design1.arrays.position).copy()
+    start[1, 0] += 0.4
+    params = {"position": jnp.asarray(start)}
+
+    assert "pallas_call" in str(
+        jax.make_jaxpr(h_pal.loss_fn)(params, target, campos, rgt, upp, fwd)
+    )
+
+    l_j, g_j = jax.value_and_grad(h_jnp.loss_fn)(
+        params, target, campos, rgt, upp, fwd
+    )
+    l_p, g_p = jax.value_and_grad(h_pal.loss_fn)(
+        params, target, campos, rgt, upp, fwd
+    )
+    np.testing.assert_allclose(float(l_p), float(l_j), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_p["position"]), np.asarray(g_j["position"]), atol=1e-5
+    )
