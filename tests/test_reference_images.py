@@ -1,0 +1,89 @@
+"""Image-level parity gate vs the reference's published renders.
+
+The reference commits screenshots of its viewport for Design1 and Design2
+(/root/reference/FilesForREADME/, README.md:10-16).  These are window
+screenshots (cropped to content, arbitrary scale), not raw framebuffers, so
+the gate is pose-aligned and scale-free: crop both images to their non-white
+content, resize to a common raster, then require (a) hit-mask IoU and (b)
+grayscale correlation above threshold.  Round-1 VERDICT flagged that the
+"visually match" claim had no quantitative test; this is it.
+
+Skips when the reference tree is absent.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import designs
+
+REF_DIR = "/root/reference/FilesForREADME"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_DIR), reason="reference images not mounted"
+)
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    pytestmark = pytest.mark.skip(reason="PIL unavailable")
+
+
+def content_mask(img, thresh=12):
+    """Non-white pixels: the viewport miss color is white (1,1,1)."""
+    return (255 - img[..., :3].astype(np.int32)).max(axis=-1) > thresh
+
+
+def crop_to_content(img, mask):
+    ys, xs = np.nonzero(mask)
+    return img[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1, :3]
+
+
+def resized_mask(img, size=200):
+    m = content_mask(img)
+    sub = crop_to_content(img, m)
+    mm = content_mask(sub)
+    im = Image.fromarray((mm * 255).astype(np.uint8)).resize(
+        (size, size), Image.BILINEAR
+    )
+    return np.asarray(im) > 127
+
+
+def resized_gray(img, size=128):
+    sub = crop_to_content(img, content_mask(img))
+    im = (
+        Image.fromarray(sub.astype(np.uint8))
+        .convert("L")
+        .resize((size, size), Image.BILINEAR)
+    )
+    return np.asarray(im).astype(np.float64)
+
+
+def render_u8(name, width=320, height=240):
+    from designcsg_tpu.config import RenderConfig
+    from designcsg_tpu.ops.raymarch import render_scene, to_u8
+
+    scene = designs.get_design(name)
+    config = RenderConfig(width=width, height=height)
+    return np.asarray(to_u8(render_scene(scene, config=config)))
+
+
+@pytest.mark.parametrize(
+    "name,ref_png,min_iou,min_corr",
+    [
+        ("design1", "Design1_cropped.png", 0.93, 0.98),
+        ("design2", "Hilbert_cropped.png", 0.92, 0.98),
+    ],
+)
+def test_render_matches_published_image(name, ref_png, min_iou, min_corr):
+    ours = render_u8(name)
+    ref = np.asarray(Image.open(os.path.join(REF_DIR, ref_png)))
+
+    mo, mr = resized_mask(ours), resized_mask(ref)
+    iou = (mo & mr).sum() / (mo | mr).sum()
+    assert iou > min_iou, f"{name}: hit-mask IoU {iou:.4f} <= {min_iou}"
+
+    go, gr = resized_gray(ours), resized_gray(ref)
+    corr = np.corrcoef(go.ravel(), gr.ravel())[0, 1]
+    assert corr > min_corr, f"{name}: grayscale corr {corr:.4f} <= {min_corr}"
