@@ -105,8 +105,10 @@ def _make_slab_provider(
 def _make_sharded_slab_provider(evaluator: BatchEvaluator, device_mesh):
     from jax.sharding import PartitionSpec as P
 
-    axis = device_mesh.axis_names[0]
-    n = int(np.prod([device_mesh.shape[a] for a in device_mesh.axis_names]))
+    # All mesh axes jointly shard the z-rows: a 1D ("rays",) mesh and a 2D
+    # ("host", "chip") pod layout run the same program (axis-agnostic spec).
+    axes = tuple(device_mesh.axis_names)
+    n = int(np.prod([device_mesh.shape[a] for a in axes]))
     scene = evaluator.scene
 
     if getattr(evaluator, "use_pallas", False):
@@ -146,7 +148,7 @@ def _make_sharded_slab_provider(evaluator: BatchEvaluator, device_mesh):
         if key not in _cache:
 
             def block(arrays, lo3d, celld, z0f):
-                k = jax.lax.axis_index(axis).astype(jnp.float32)
+                k = jax.lax.axis_index(axes).astype(jnp.float32)
                 return eval_rows(arrays, lo3d, celld, z0f + k * per, per, r1)
 
             _cache[key] = jax.jit(
@@ -154,7 +156,7 @@ def _make_sharded_slab_provider(evaluator: BatchEvaluator, device_mesh):
                     block,
                     mesh=device_mesh,
                     in_specs=(P(), P(), P(), P()),
-                    out_specs=P(axis),
+                    out_specs=P(axes),
                     check_vma=False,
                 )
             )

@@ -34,7 +34,7 @@ def make_sharded_corner_provider(
     z-rows of each slab split across the mesh devices."""
     if mesh is None:
         mesh = make_mesh()
-    axis = mesh.axis_names[0]
+    axes = tuple(mesh.axis_names)  # axis-agnostic: 1D and 2D meshes alike
     n = mesh.devices.size
     r1 = resolution + 1
     center = np.asarray(center, np.float64)
@@ -81,14 +81,14 @@ def make_sharded_corner_provider(
         if per not in _cache:
 
             def block(arrays, z0f):
-                k = jax.lax.axis_index(axis).astype(jnp.float32)
+                k = jax.lax.axis_index(axes).astype(jnp.float32)
                 return eval_rows(arrays, z0f + k * per, per)
 
             sharded = jax.shard_map(
                 block,
                 mesh=mesh,
                 in_specs=(P(), P()),
-                out_specs=P(axis),
+                out_specs=P(axes),
                 check_vma=False,
             )
             _cache[per] = jax.jit(sharded)

@@ -82,7 +82,7 @@ class FitHarness:
         over the mesh."""
         if self.mesh is None:
             return jax.tree_util.tree_map(jnp.asarray, target)
-        sharding = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+        sharding = NamedSharding(self.mesh, P(tuple(self.mesh.axis_names)))
         return jax.tree_util.tree_map(
             lambda t: jax.device_put(jnp.asarray(t), sharding), target
         )
@@ -171,7 +171,9 @@ def make_fit_harness(
         # into a cross-device all-reduce per march iteration — hundreds of
         # rendezvous per step (and on XLA:CPU an abort risk: the in-process
         # rendezvous LOG(FATAL)s at 40 s if a partition thread starves).
-        axis = mesh.axis_names[0]
+        # Rows shard over ALL mesh axes jointly; psums reduce over the same
+        # tuple — one program serves the 1D and ("host", "chip") layouts.
+        axes = tuple(mesh.axis_names)
         P_ = P
 
         if loss == "rgb":
@@ -180,9 +182,9 @@ def make_fit_harness(
                 arrays = param_to_arrays(params)
                 img = render_rays(arrays, o_proj, r_blk, rgt, upp, fwd)
                 sq = jnp.sum((img - target_blk) ** 2)
-                return jax.lax.psum(sq, axis) / (n_pixels * 3.0)
+                return jax.lax.psum(sq, axes) / (n_pixels * 3.0)
 
-            local_specs = (P_(), P_(axis), P_(), P_(axis), P_(), P_(), P_())
+            local_specs = (P_(), P_(axes), P_(), P_(axes), P_(), P_(), P_())
         else:
 
             def _local_loss(params, target, o_proj, r_blk, rgt, upp, fwd):
@@ -190,17 +192,17 @@ def make_fit_harness(
                 arrays = param_to_arrays(params)
                 d, alpha = render_geom(arrays, o_proj, r_blk)
                 both = sg(jnp.logical_and(d > 0, target_d > 0).astype(d.dtype))
-                num = jax.lax.psum(jnp.sum(both * (d - target_d) ** 2), axis)
-                den = jax.lax.psum(jnp.sum(both), axis)
-                asq = jax.lax.psum(jnp.sum((alpha - target_alpha) ** 2), axis)
+                num = jax.lax.psum(jnp.sum(both * (d - target_d) ** 2), axes)
+                den = jax.lax.psum(jnp.sum(both), axes)
+                asq = jax.lax.psum(jnp.sum((alpha - target_alpha) ** 2), axes)
                 depth_term = num / jnp.maximum(den, 1.0)
                 return depth_term + silhouette_weight * asq / n_pixels
 
             local_specs = (
                 P_(),
-                (P_(axis), P_(axis)),
+                (P_(axes), P_(axes)),
                 P_(),
-                P_(axis),
+                P_(axes),
                 P_(),
                 P_(),
                 P_(),
@@ -238,9 +240,8 @@ def make_fit_harness(
         # GSPMD: rows of the target shard over the mesh; the renderer's
         # intermediates inherit that sharding; parameter gradients all-reduce
         # (XLA inserts the psum on the backward).
-        axis = mesh.axis_names[0]
         repl = NamedSharding(mesh, P())
-        rows = NamedSharding(mesh, P(axis))
+        rows = NamedSharding(mesh, P(tuple(mesh.axis_names)))
         target_sharding = (rows, rows) if loss == "geometric" else rows
         step_jit = jax.jit(
             step_fn,

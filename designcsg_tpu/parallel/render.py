@@ -35,7 +35,9 @@ def make_sharded_renderer(
     if mesh is None:
         mesh = make_mesh()
     render_rays = make_ray_renderer(scene, config)
-    axis = mesh.axis_names[0]
+    # Image rows shard over ALL mesh axes jointly, so a 1D device mesh and a
+    # 2D ("host", "chip") pod layout run the identical program.
+    axes = tuple(mesh.axis_names)
 
     def _block(arrays, o_proj, dirs_block, rgt, upp, fwd):
         return render_rays(arrays, o_proj, dirs_block, rgt, upp, fwd)
@@ -43,8 +45,8 @@ def make_sharded_renderer(
     sharded = jax.shard_map(
         _block,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis), P(), P(), P()),
-        out_specs=P(axis),
+        in_specs=(P(), P(), P(axes), P(), P(), P()),
+        out_specs=P(axes),
         check_vma=False,
     )
 
@@ -67,7 +69,7 @@ def shard_pointwise(fn, mesh: Optional[Mesh] = None):
     The wrapped function pads to the mesh size internally."""
     if mesh is None:
         mesh = make_mesh()
-    axis = mesh.axis_names[0]
+    axes = tuple(mesh.axis_names)
     n = mesh.devices.size
 
     def _block(points, arrays):
@@ -76,8 +78,8 @@ def shard_pointwise(fn, mesh: Optional[Mesh] = None):
     sharded = jax.shard_map(
         _block,
         mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=P(axis),
+        in_specs=(P(axes), P()),
+        out_specs=P(axes),
         check_vma=False,
     )
 
