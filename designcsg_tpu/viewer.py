@@ -99,9 +99,14 @@ def interactive(
     scene: CompiledScene,
     config: Optional[RenderConfig] = None,
     backend: str = "jnp",
-):  # pragma: no cover - needs a display
+    show: bool = True,
+):
     """Drag to orbit, scroll to zoom — the draw pane's mouse handlers
-    (DrawPane.cpp:561-584) on a matplotlib canvas."""
+    (DrawPane.cpp:561-584) on a matplotlib canvas.
+
+    Returns a session object exposing ``fig``, ``camera``, and the event
+    handlers, so the viewer is drivable headlessly (``show=False`` +
+    synthetic events; the Agg backend works)."""
     import matplotlib.pyplot as plt
 
     if config is None:
@@ -140,4 +145,18 @@ def interactive(
     fig.canvas.mpl_connect("button_release_event", on_release)
     fig.canvas.mpl_connect("motion_notify_event", on_move)
     fig.canvas.mpl_connect("scroll_event", on_scroll)
-    plt.show()
+
+    class _Session:
+        pass
+
+    session = _Session()
+    session.fig = fig
+    session.image = im
+    session.camera = cam
+    session.on_press = on_press
+    session.on_release = on_release
+    session.on_move = on_move
+    session.on_scroll = on_scroll
+    if show:  # pragma: no cover - needs a display
+        plt.show()
+    return session
