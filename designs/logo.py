@@ -31,6 +31,12 @@ THICKNESS = 0.075
 
 
 def _default_font() -> str:
+    # The reference design's own font (CourierPrime-Bold, SIL OFL) when its
+    # tree is mounted — glyph outlines then match the published render
+    # exactly; any monospace bold is a reasonable stand-in otherwise.
+    ref_font = "/root/reference/master/Designs/CourierPrime-Bold.ttf"
+    if os.path.exists(ref_font):
+        return ref_font
     import matplotlib
 
     return os.path.join(

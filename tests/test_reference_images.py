@@ -74,6 +74,9 @@ def render_u8(name, width=320, height=240):
     [
         ("design1", "Design1_cropped.png", 0.93, 0.98),
         ("design2", "Hilbert_cropped.png", 0.92, 0.98),
+        # Logo uses the reference's own CourierPrime font (same mount this
+        # gate already requires), so glyph outlines match exactly.
+        ("logo", "Logo_cropped.png", 0.92, 0.97),
     ],
 )
 def test_render_matches_published_image(name, ref_png, min_iou, min_corr):
