@@ -96,6 +96,40 @@ def cmd_render(args):
     print(f"wrote {args.output}")
 
 
+def cmd_watch(args):
+    """Edit-run loop: re-render the design script whenever it changes.
+
+    The reference's whole GUI workflow is edit -> File->Run -> look at the
+    viewport, with script errors shown in the console (DesignCSG.cpp:531-568
+    + log.txt).  Here: poll the script's mtime, re-exec + re-render on
+    change, print render time or the script's exception — the same loop for
+    a terminal + any image viewer that auto-reloads."""
+    if not os.path.exists(args.design):
+        raise FileNotFoundError(f"watch needs a design script path: {args.design!r}")
+    last_mtime = None
+    renders = 0
+    while True:
+        try:
+            mtime = os.path.getmtime(args.design)
+        except OSError:
+            time.sleep(args.poll)
+            continue
+        if mtime != last_mtime:
+            last_mtime = mtime
+            try:
+                cmd_render(args)
+            except KeyboardInterrupt:
+                raise
+            except Exception as exc:  # script errors land in the console,
+                # like the reference's log.txt channel — the loop survives.
+                print(f"design error: {type(exc).__name__}: {exc}")
+            renders += 1
+            if args.max_renders and renders >= args.max_renders:
+                return
+            print(f"watching {args.design} (ctrl-c to stop)")
+        time.sleep(args.poll)
+
+
 def cmd_export(args):
     from designcsg_tpu.export.pipeline import export_mesh
     from designcsg_tpu.observability import ExportMonitor
@@ -212,6 +246,27 @@ def main(argv=None):
     p.add_argument("--no-default-orbit", action="store_true")
     p.add_argument("--backend", choices=["jnp", "pallas"], default="jnp")
     p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser(
+        "watch", help="re-render a design script whenever it changes"
+    )
+    p.add_argument("design")
+    p.add_argument("-o", "--output", default="render.png")
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--orbit", type=float, nargs=2, metavar=("DA", "DB"))
+    p.add_argument("--zoom", type=float, default=0.0)
+    p.add_argument("--no-gizmo", action="store_true")
+    p.add_argument("--no-default-orbit", action="store_true")
+    p.add_argument("--backend", choices=["jnp", "pallas"], default="jnp")
+    p.add_argument("--poll", type=float, default=0.5)
+    p.add_argument(
+        "--max-renders",
+        type=int,
+        default=0,
+        help="stop after N renders (0 = run until interrupted)",
+    )
+    p.set_defaults(fn=cmd_watch)
 
     p = sub.add_parser("export", help="mesh-export a design (STL/PLY)")
     p.add_argument("design")

@@ -85,3 +85,55 @@ def test_stage_timer_and_monitor():
     monitor("EXTRACTING_SURFACE", 1.0)
     assert "EXTRACTING_SURFACE" in buf.getvalue()
     assert "100.0%" in buf.getvalue()
+
+
+def test_watch_rerenders_on_change(tmp_path):
+    """The edit-run loop: watch re-renders when the script changes and
+    survives script errors (the reference's File->Run + log.txt workflow)."""
+    import threading
+    import time as _time
+
+    from designcsg_tpu.cli import main
+
+    script = tmp_path / "d.py"
+    good = (
+        "from designcsg_tpu import api\n"
+        "import numpy as np\n"
+        "api.draw(api.sphere_brush(), api.Transform.initial(\n"
+        "    position=[0,0,0], yaw=0, pitch=0, roll=0, scale=np.array([1.0]*3)))\n"
+    )
+    script.write_text(good)
+    out = tmp_path / "w.png"
+
+    def mutate():
+        # wait for the first render, then: a broken edit, then a fix
+        deadline = _time.time() + 120
+        while not out.exists() and _time.time() < deadline:
+            _time.sleep(0.2)
+        first = out.stat().st_mtime
+        script.write_text("raise RuntimeError('syntax-ish failure')\n")
+        os.utime(script)
+        _time.sleep(1.0)
+        script.write_text(good)
+        os.utime(script)
+
+    t = threading.Thread(target=mutate)
+    t.start()
+    main(
+        [
+            "watch",
+            str(script),
+            "-o",
+            str(out),
+            "--width",
+            "64",
+            "--height",
+            "48",
+            "--poll",
+            "0.2",
+            "--max-renders",
+            "3",
+        ]
+    )
+    t.join()
+    assert out.exists()
