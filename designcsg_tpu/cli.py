@@ -231,6 +231,18 @@ def cmd_bench(args):
     bench.main()
 
 
+def cmd_studio(args):
+    from designcsg_tpu.studio import serve
+
+    serve(
+        args.workspace,
+        port=args.port,
+        width=args.width,
+        height=args.height,
+        backend=args.backend,
+    )
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="designcsg_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -305,6 +317,16 @@ def main(argv=None):
 
     p = sub.add_parser("bench", help="run the headline benchmark")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser(
+        "studio", help="browser-based editor/viewport/export shell"
+    )
+    p.add_argument("workspace", nargs="?", default="designs_workspace")
+    p.add_argument("--port", type=int, default=8642)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--backend", choices=["jnp", "pallas"], default="jnp")
+    p.set_defaults(fn=cmd_studio)
 
     args = parser.parse_args(argv)
     args.fn(args)

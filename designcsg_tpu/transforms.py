@@ -134,8 +134,12 @@ def eulerZ(roll, xp=np):
 
 
 def scaling(scale, xp=np):
-    """Diagonal scale (scenecompiler.py:116-125; transpose is a no-op)."""
+    """Diagonal scale (scenecompiler.py:116-125; transpose is a no-op).
+
+    Accepts a 3-vector like the reference, or a scalar (uniform scale)."""
     scale = xp.asarray(scale)
+    if scale.ndim == 0:
+        scale = xp.broadcast_to(scale, (3,))
     s4 = xp.concatenate([scale, xp.ones((1,), dtype=scale.dtype)])
     return xp.diag(s4)
 
