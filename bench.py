@@ -43,8 +43,8 @@ def main():
 
     REPS = 20
 
-    def time_render(config):
-        render = make_pallas_renderer(scene, config)
+    def time_render(config, factory=make_pallas_renderer):
+        render = factory(scene, config)
 
         @jax.jit
         def frames(arrays, campos):
@@ -63,12 +63,26 @@ def main():
             best = min(best, (time.time() - t0) / REPS)
         return best, config.width * config.height / best
 
-    # Headline: the framework's fast march (over-relaxed sphere tracing,
-    # guaranteed same intersections as the reference march; verified against
-    # the exact-semantics renderer in tests/test_raymarch.py).
+    # Headline: the framework's fast march — over-relaxed sphere tracing
+    # (same intersections as the reference march, tests/test_raymarch.py)
+    # plus the hierarchical cone prepass (hit-preserving, tests/test_pallas.py)
+    # — whichever is fastest this run.
+    from designcsg_tpu.ops.pallas.march_kernel import make_hierarchical_renderer
+
     config = RenderConfig(march_overrelax=1.6)
     best, rays_per_s = time_render(config)
     log(f"march (overrelax 1.6): {best*1e3:.3f} ms/frame -> {rays_per_s/1e6:.1f} Mrays/s")
+    try:
+        hconfig = RenderConfig(march_overrelax=1.6, march_hierarchical=True)
+        bh, rh = time_render(hconfig, factory=make_hierarchical_renderer)
+        log(
+            f"march (hierarchical + overrelax): {bh*1e3:.3f} ms/frame -> "
+            f"{rh/1e6:.1f} Mrays/s"
+        )
+        if rh > rays_per_s:
+            best, rays_per_s = bh, rh
+    except Exception as e:
+        log("hierarchical bench failed:", e)
     # Secondary: exact reference-march semantics (omega = 1).
     try:
         b2, r2 = time_render(RenderConfig())

@@ -66,8 +66,17 @@ def cmd_render(args):
     from designcsg_tpu.ops.raymarch import render_scene, to_u8
 
     scene = load_design(args.design)
+    fast = getattr(args, "fast", False)
     config = RenderConfig(
-        width=args.width, height=args.height, gizmo=not args.no_gizmo
+        width=args.width,
+        height=args.height,
+        gizmo=not args.no_gizmo,
+        # --fast: over-relaxed stepping + the hierarchical cone prepass —
+        # both hit-preserving (tests/test_raymarch.py, tests/test_pallas.py).
+        march_overrelax=1.6 if fast else 1.0,
+        march_hierarchical=fast
+        and args.width % 5 == 0
+        and args.height % 5 == 0,
     )
     cam = _camera(args)
     t0 = time.time()
@@ -77,11 +86,17 @@ def cmd_render(args):
         import jax.numpy as jnp
 
         from designcsg_tpu.ops.interpreter import as_device_arrays
-        from designcsg_tpu.ops.pallas import make_pallas_renderer, supports_scene
+        from designcsg_tpu.ops.pallas import (
+            make_hierarchical_renderer,
+            make_pallas_renderer,
+            supports_scene,
+        )
 
         if not supports_scene(scene):
             print("scene has unregistered kernel brushes; falling back to jnp")
             use_pallas = False
+        elif config.march_hierarchical:
+            render = make_hierarchical_renderer(scene, config)
         else:
             render = make_pallas_renderer(scene, config)
             campos, rgt, upp, fwd = (jnp.asarray(a) for a in cam.as_arrays())
@@ -257,6 +272,11 @@ def main(argv=None):
     p.add_argument("--no-gizmo", action="store_true")
     p.add_argument("--no-default-orbit", action="store_true")
     p.add_argument("--backend", choices=["jnp", "pallas"], default="jnp")
+    p.add_argument(
+        "--fast",
+        action="store_true",
+        help="over-relaxed + hierarchical march (pallas backend)",
+    )
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser(

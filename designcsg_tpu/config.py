@@ -53,6 +53,19 @@ class RenderConfig:
     # are identical either way: every march runs under stop_gradient with
     # IFT/soft-silhouette reattachment, so the fit harness rides the kernel.
     use_pallas_march: Optional[bool] = None
+    # Hierarchical (cone-prepass) march for the fused Pallas renderer: a
+    # coarse pass at 1/hierarchical_factor resolution marches each pixel
+    # block's center ray with a cone-inflated hit epsilon
+    # (eps + t * cone_half_angle) * cone_safety and records the last safe
+    # parameter; fine rays start there, skipping the open-space march
+    # entirely.  Hits are preserved (the inflated epsilon guarantees the
+    # skipped segment is at least one epsilon clear of every surface for
+    # every ray in the block); hit distances agree to ~sdf_epsilon, so
+    # images match to sub-pixel shading differences at silhouettes — same
+    # contract as march_overrelax, composable with it.
+    march_hierarchical: bool = False
+    hierarchical_factor: int = 5
+    cone_safety: float = 2.0
 
 
 # Mesh/grid extraction knobs live on compiler.ExportConfig (the reference's

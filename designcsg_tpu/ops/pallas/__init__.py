@@ -14,4 +14,8 @@ from .brushes_kernel import (  # noqa: F401
     supports_scene,
 )
 from .sdf_kernel import make_grid_eval, make_pallas_point_eval  # noqa: F401
-from .march_kernel import make_pallas_renderer  # noqa: F401
+from .march_kernel import (  # noqa: F401
+    make_hierarchical_renderer,
+    make_pallas_cone_march,
+    make_pallas_renderer,
+)

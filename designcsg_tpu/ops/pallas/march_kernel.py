@@ -186,11 +186,139 @@ def make_pallas_ray_march(
     return ray_march
 
 
+def make_pallas_cone_march(
+    scene: CompiledScene,
+    config: Optional[RenderConfig] = None,
+    cone_slope: float = 0.0,
+    interpret: bool = False,
+):
+    """Cone prepass: ``cone_march(arrays, o_proj f32[3], rays f32[..., 3])
+    -> t_safe f32[...]`` — march each (block-center) ray with the
+    cone-inflated hit condition ``s < (eps + d * cone_slope)``, returning
+    the parameter of the *previous* visited point when the march stops.
+
+    The Lipschitz argument: rays are the projected (uvx, uvy, IFOV) vectors
+    (orthonormal frame, so |Δray| = |Δuv|); any covered ray's position at
+    parameter t is within t * cone_slope' of the center ray's (cone_slope
+    already includes the caller's safety factor), hence its SDF stays above
+    eps for all t ≤ t_safe, and sphere-tracing the covered ray from t_safe
+    visits the same surface it would from 0 (k1.cl:420-470 semantics)."""
+    if config is None:
+        config = RenderConfig(gizmo=False)
+    tape_eval = make_component_tape(scene, gizmo=config.gizmo)
+    eps = config.sdf_epsilon
+    tol = config.march_tolerance
+    max_d = config.max_distance
+    max_steps = config.max_steps
+    slope = float(cone_slope)
+
+    SUB_R = 8
+
+    def kernel(
+        scal_ref, pos_ref, right_ref, up_ref, fwd_ref, ad_ref,
+        rx_ref, ry_ref, rz_ref, t_out,
+    ):
+        bank = smem_bank_reader(pos_ref, right_ref, up_ref, fwd_ref)
+        ctx = EvalContext(ad=ad_ref)
+
+        def sdf(x, y, z):
+            return tape_eval(x, y, z, bank, ctx)
+
+        ox, oy, oz = scal_ref[0], scal_ref[1], scal_ref[2]
+        n_valid = scal_ref[3]
+        rx, ry, rz = rx_ref[:], ry_ref[:], rz_ref[:]
+        i = pl.program_id(0)
+        r = jax.lax.broadcasted_iota(jnp.int32, (SUB_R, TILE_W), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (SUB_R, TILE_W), 1)
+        idx = ((i * SUB_R + r) * TILE_W + c).astype(jnp.float32)
+
+        zero = rx * 0.0
+        vx0 = zero + ox
+        vy0 = zero + oy
+        vz0 = zero + oz
+        d0 = zero
+        done0 = jnp.where(idx < n_valid, 0.0, 1.0)
+        tprev0 = zero
+
+        def cond(state):
+            step, done = state[0], state[5]
+            return jnp.logical_and(step < max_steps, jnp.min(done) < 0.5)
+
+        def body(state):
+            step, vx, vy, vz, d, done, tprev = state
+            active = 1.0 - done
+            s = sdf(vx, vy, vz) * tol
+            stop = active * jnp.where(s < eps + d * slope, 1.0, 0.0)
+            advance = active * (1.0 - stop)
+            # The point at d is only provisionally safe: commit it to tprev
+            # just before stepping PAST it, so on stop tprev is the previous
+            # visited point.
+            tprev = jnp.where(advance > 0.5, d, tprev)
+            vx = vx + advance * s * rx
+            vy = vy + advance * s * ry
+            vz = vz + advance * s * rz
+            d = d + advance * s
+            # A miss (left the scene) makes the whole remaining ray safe.
+            miss = advance * jnp.where(d > max_d, 1.0, 0.0)
+            tprev = jnp.where(miss > 0.5, d, tprev)
+            return (
+                step + 1, vx, vy, vz, d,
+                jnp.minimum(done + stop + miss, 1.0), tprev,
+            )
+
+        state = (jnp.int32(0), vx0, vy0, vz0, d0, done0, tprev0)
+        state = jax.lax.while_loop(cond, body, state)
+        t_out[:] = state[6]
+
+    tile_rays = SUB_R * TILE_W
+
+    @jax.jit
+    def cone_march(arrays: SceneArrays, o_proj, rays):
+        batch = rays.shape[:-1]
+        flat = rays.reshape(-1, 3).astype(jnp.float32)
+        n = flat.shape[0]
+        pad = (-n) % tile_rays
+        if pad:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad, 3), jnp.float32)], axis=0
+            )
+        rows = flat.shape[0] // TILE_W
+        scalars = jnp.concatenate(
+            [
+                jnp.asarray(o_proj, jnp.float32).reshape(3),
+                jnp.float32(n).reshape(1),
+            ]
+        )
+        plane = pl.BlockSpec(
+            (SUB_R, TILE_W), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        t = pl.pallas_call(
+            kernel,
+            grid=(rows // SUB_R,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + _bank_specs()
+            + [plane, plane, plane],
+            out_specs=plane,
+            out_shape=jax.ShapeDtypeStruct((rows, TILE_W), jnp.float32),
+            interpret=interpret,
+        )(
+            scalars,
+            *_bank_inputs(arrays),
+            flat[:, 0].reshape(rows, TILE_W),
+            flat[:, 1].reshape(rows, TILE_W),
+            flat[:, 2].reshape(rows, TILE_W),
+        )
+        return t.reshape(-1)[:n].reshape(batch)
+
+    return cone_march
+
+
 def make_pallas_renderer(
     scene: CompiledScene,
     config: Optional[RenderConfig] = None,
     interpret: bool = False,
     block_layout: Optional[bool] = None,
+    t0_input: bool = False,
 ):
     """``render(arrays, campos, rgt, upp, fwd) -> f32[H, W, 3]`` — drop-in
     replacement for ops.raymarch.make_renderer's forward (non-differentiable)
@@ -203,12 +331,17 @@ def make_pallas_renderer(
     columns away).  Auto-enabled when the viewport divides by 32."""
     if config is None:
         config = RenderConfig()
-    assert config.width % TILE_W == 0 and config.height % TILE_H == 0, (
-        f"viewport {config.width}x{config.height} must tile by "
-        f"{TILE_W}x{TILE_H}"
-    )
     if block_layout is None:
         block_layout = config.width % 32 == 0 and config.height % 32 == 0
+    if block_layout:
+        assert config.width % 32 == 0 and config.height % 32 == 0, (
+            f"viewport {config.width}x{config.height} must tile by 32x32"
+        )
+    else:
+        assert config.width % TILE_W == 0 and config.height % TILE_H == 0, (
+            f"viewport {config.width}x{config.height} must tile by "
+            f"{TILE_W}x{TILE_H}"
+        )
     tape_eval = make_component_tape(scene, gizmo=config.gizmo)
     kbrushes = kernel_brushes_for_scene(scene)
     kmaterials = kernel_materials_for_scene(scene)
@@ -229,7 +362,11 @@ def make_pallas_renderer(
     miss_color = config.miss_color
     background = config.background
 
-    def kernel(cam_ref, pos_ref, right_ref, up_ref, fwd_ref, ad_ref, r_out, g_out, b_out):
+    def kernel(cam_ref, pos_ref, right_ref, up_ref, fwd_ref, ad_ref, *refs):
+        if t0_input:
+            t0_ref, r_out, g_out, b_out = refs
+        else:
+            r_out, g_out, b_out = refs
         bank = smem_bank_reader(pos_ref, right_ref, up_ref, fwd_ref)
         rgt = (cam_ref[1, 0], cam_ref[1, 1], cam_ref[1, 2])
         upp = (cam_ref[2, 0], cam_ref[2, 1], cam_ref[2, 2])
@@ -265,12 +402,15 @@ def make_pallas_renderer(
         # Mosaic cannot relayout a while-loop carry that becomes concrete
         # inside the loop ("Invalid relayout ... replicated in destination").
         zero = rx * 0.0
-        vx0 = zero + ox
-        vy0 = zero + oy
-        vz0 = zero + oz
+        # With a cone-prepass t0 plane, every ray starts at its own safe
+        # parameter (d accumulates from t0, matching the full march's
+        # parameterization); otherwise at the camera.
+        d0 = t0_ref[:] if t0_input else zero
+        vx0 = zero + ox + d0 * rx
+        vy0 = zero + oy + d0 * ry
+        vz0 = zero + oz + d0 * rz
         # Masks are f32 0/1 — Mosaic cannot carry i1 vectors through
         # scf.while ("failed to legalize scf.yield").
-        d0 = zero
         hit0 = zero
         miss0 = zero
 
@@ -458,7 +598,7 @@ def make_pallas_renderer(
         out_shape = jax.ShapeDtypeStruct((config.height, config.width), jnp.float32)
 
     @jax.jit
-    def render(arrays: SceneArrays, campos, rgt, upp, fwd):
+    def render(arrays: SceneArrays, campos, rgt, upp, fwd, t0=None):
         campos = jnp.asarray(campos, jnp.float32)
         rgt = jnp.asarray(rgt, jnp.float32)
         upp = jnp.asarray(upp, jnp.float32)
@@ -471,14 +611,31 @@ def make_pallas_renderer(
             ]
         )
         cam = jnp.stack([o_proj, rgt, upp, fwd])  # [4, 3] SMEM scalars
+        extra_specs, extra_inputs = [], []
+        if t0_input:
+            if t0 is None:
+                raise ValueError("this renderer requires a t0 start plane")
+            t0 = jnp.asarray(t0, jnp.float32)
+            if block_layout:
+                hb, wb = grid
+                # Inverse of unscramble: image -> tile-major storage.
+                t0 = (
+                    t0.reshape(hb, TILE_H, 4, wb, 32)
+                    .transpose(0, 3, 1, 2, 4)
+                    .reshape(hb * wb * TILE_H, TILE_W)
+                )
+            extra_specs = [tile]
+            extra_inputs = [t0]
         r, g, b = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + _bank_specs(),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + _bank_specs()
+            + extra_specs,
             out_specs=(tile, tile, tile),
             out_shape=(out_shape, out_shape, out_shape),
             interpret=interpret,
-        )(cam, *_bank_inputs(arrays))
+        )(cam, *_bank_inputs(arrays), *extra_inputs)
         if block_layout:
             hb, wb = grid
 
@@ -491,5 +648,82 @@ def make_pallas_renderer(
 
             r, g, b = unscramble(r), unscramble(g), unscramble(b)
         return jnp.stack([r, g, b], axis=-1)
+
+    return render
+
+
+def make_hierarchical_renderer(
+    scene: CompiledScene,
+    config: Optional[RenderConfig] = None,
+    interpret: bool = False,
+):
+    """Two-pass hierarchical render: cone prepass at 1/``hierarchical_factor``
+    resolution (:func:`make_pallas_cone_march`) feeds per-pixel safe start
+    parameters to the fused renderer, which skips each ray's open-space
+    march.  Drop-in signature match for :func:`make_pallas_renderer`.
+
+    Hit preservation: every fine ray in an FxF block stays within
+    ``t * cone_half_angle`` of the block's center ray (orthonormal frame, so
+    ray deltas are uv deltas); the prepass stops while
+    ``sdf >= (eps + t * cone_safety * cone_half_angle)`` still holds and
+    hands back the previous visited parameter, so the skipped segment is
+    epsilon-clear for the whole block."""
+    if config is None:
+        config = RenderConfig()
+    F = config.hierarchical_factor
+    assert F % 2 == 1, "hierarchical_factor must be odd (center ray exists)"
+    assert config.width % F == 0 and config.height % F == 0, (
+        f"viewport {config.width}x{config.height} must divide by "
+        f"hierarchical_factor {F}"
+    )
+    w2 = config.width / 2.0
+    h2 = config.height / 2.0
+    half = (F - 1) / 2.0
+    # Max uv distance of any covered fine ray from the block-center ray.
+    cone_half_angle = half * float(np.sqrt(2.0)) / w2
+    cone = make_pallas_cone_march(
+        scene,
+        config,
+        cone_slope=config.cone_safety * cone_half_angle,
+        interpret=interpret,
+    )
+    fine = make_pallas_renderer(
+        scene, config, interpret=interpret, t0_input=True
+    )
+    hc, wc = config.height // F, config.width // F
+    # Coarse ray through each block's center fine pixel.
+    ixc = np.arange(wc) * F + half
+    iyc = np.arange(hc) * F + half
+    uvx_c = (ixc - w2) / w2
+    uvy_c = -(iyc - h2) / w2
+    uv = np.stack(
+        [
+            np.broadcast_to(uvx_c[None, :], (hc, wc)),
+            np.broadcast_to(uvy_c[:, None], (hc, wc)),
+            np.full((hc, wc), config.ifov),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+
+    @jax.jit
+    def render(arrays: SceneArrays, campos, rgt, upp, fwd):
+        campos = jnp.asarray(campos, jnp.float32)
+        rgt = jnp.asarray(rgt, jnp.float32)
+        upp = jnp.asarray(upp, jnp.float32)
+        fwd = jnp.asarray(fwd, jnp.float32)
+        o_proj = jnp.stack(
+            [
+                jnp.sum(campos * rgt),
+                jnp.sum(campos * upp),
+                jnp.sum(campos * fwd),
+            ]
+        )
+        # Projected ray component i = dot((uvx, uvy, ifov), frame_axis_i)
+        # (k1.cl:506-528 — the scene lives in the projected space).
+        frame = jnp.stack([rgt, upp, fwd])  # [3(axis), 3(uvz)]
+        rays = jnp.einsum("hwu,iu->hwi", jnp.asarray(uv), frame)
+        t_safe = cone(arrays, o_proj, rays)  # [hc, wc]
+        t0 = jnp.repeat(jnp.repeat(t_safe, F, axis=0), F, axis=1)
+        return fine(arrays, campos, rgt, upp, fwd, t0)
 
     return render

@@ -31,10 +31,17 @@ def _make_render_fn(scene: CompiledScene, config: RenderConfig, backend: str):
 
     arrays = as_device_arrays(scene.arrays)
     if backend == "pallas":
-        from .ops.pallas import make_pallas_renderer, supports_scene
+        from .ops.pallas import (
+            make_hierarchical_renderer,
+            make_pallas_renderer,
+            supports_scene,
+        )
 
         if supports_scene(scene):
-            render = make_pallas_renderer(scene, config)
+            if config.march_hierarchical:
+                render = make_hierarchical_renderer(scene, config)
+            else:
+                render = make_pallas_renderer(scene, config)
         else:
             backend = "jnp"
     if backend == "jnp":

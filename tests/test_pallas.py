@@ -217,3 +217,103 @@ def test_fit_gradients_match_between_engines(design1):
     np.testing.assert_allclose(
         np.asarray(g_p["position"]), np.asarray(g_j["position"]), atol=1e-5
     )
+
+
+def test_hierarchical_renderer_matches_plain(design1):
+    """The cone-prepass hierarchical march must preserve hits: same hit
+    mask as the single-pass kernel (up to a sliver of silhouette pixels
+    whose hit point lands within the epsilon band) and near-identical
+    images."""
+    from designcsg_tpu.ops.pallas.march_kernel import (
+        make_hierarchical_renderer,
+    )
+
+    arrays = as_device_arrays(design1.arrays)
+    config = RenderConfig(width=160, height=160, max_steps=128)
+    campos, rgt, upp, fwd = (jnp.asarray(a) for a in Camera.initial().as_arrays())
+    plain = np.asarray(
+        make_pallas_renderer(design1, config, interpret=True)(
+            arrays, campos, rgt, upp, fwd
+        )
+    )
+    hier = np.asarray(
+        make_hierarchical_renderer(design1, config, interpret=True)(
+            arrays, campos, rgt, upp, fwd
+        )
+    )
+    # Miss pixels are exactly the miss color in both; compare hit masks.
+    miss = np.array(config.miss_color)
+    plain_hit = np.any(plain != miss, axis=-1)
+    hier_hit = np.any(hier != miss, axis=-1)
+    assert (plain_hit != hier_hit).mean() < 0.002
+    # Interior shading agrees; only silhouette pixels may differ slightly
+    # (hit distances agree to ~sdf_epsilon, not bitwise).
+    both = plain_hit & hier_hit
+    diff = np.abs(plain - hier).max(axis=-1)
+    assert np.median(diff[both]) < 1e-4
+    assert (diff[both] > 0.05).mean() < 0.01
+
+
+def test_cone_march_t_safe_is_safe(design1):
+    """Every t_safe from the cone prepass must leave the covered fine rays
+    epsilon-clear over the skipped segment: sdf at the fine ray's start
+    point must be >= sdf_epsilon."""
+    from designcsg_tpu.ops.pallas.march_kernel import make_pallas_cone_march
+
+    arrays = as_device_arrays(design1.arrays)
+    config = RenderConfig(width=160, height=160, max_steps=128)
+    F = config.hierarchical_factor
+    w2 = config.width / 2.0
+    h2 = config.height / 2.0
+    half = (F - 1) / 2.0
+    cone_half_angle = half * float(np.sqrt(2.0)) / w2
+    cone = make_pallas_cone_march(
+        design1,
+        config,
+        cone_slope=config.cone_safety * cone_half_angle,
+        interpret=True,
+    )
+    campos, rgt, upp, fwd = (jnp.asarray(a) for a in Camera.initial().as_arrays())
+    frame = jnp.stack([rgt, upp, fwd])
+    o_proj = frame @ campos
+
+    hc, wc = config.height // F, config.width // F
+    # All fine rays, grouped by their coarse block.
+    ix = np.arange(config.width)
+    iy = np.arange(config.height)
+    uvx = (ix - w2) / w2
+    uvy = -(iy - h2) / w2
+    uv = np.stack(
+        [
+            np.broadcast_to(uvx[None, :], (config.height, config.width)),
+            np.broadcast_to(uvy[:, None], (config.height, config.width)),
+            np.full((config.height, config.width), config.ifov),
+        ],
+        axis=-1,
+    )
+    rays_fine = np.einsum("hwu,iu->hwi", uv, np.asarray(frame))
+
+    ixc = np.arange(wc) * F + half
+    iyc = np.arange(hc) * F + half
+    uvc = np.stack(
+        [
+            np.broadcast_to((ixc - w2)[None, :] / w2, (hc, wc)),
+            np.broadcast_to(-(iyc - h2)[:, None] / w2, (hc, wc)),
+            np.full((hc, wc), config.ifov),
+        ],
+        axis=-1,
+    )
+    rays_coarse = np.einsum("hwu,iu->hwi", uvc, np.asarray(frame))
+    t_safe = np.asarray(cone(arrays, o_proj, jnp.asarray(rays_coarse, jnp.float32)))
+
+    t0 = np.repeat(np.repeat(t_safe, F, axis=0), F, axis=1)
+    starts = np.asarray(o_proj)[None, None, :] + t0[..., None] * rays_fine
+    sdf = make_primary_sdf(design1, gizmo=True)
+    vals = np.asarray(
+        sdf(jnp.asarray(starts.reshape(-1, 3), jnp.float32), arrays)
+    )
+    # Start points of rays that haven't already left the scene must be
+    # epsilon-clear (miss rays' start points can be anywhere far away —
+    # their sdf is large and positive anyway, so one bound covers all).
+    inside = t0.reshape(-1) < config.max_distance
+    assert vals[inside].min() >= config.sdf_epsilon - 1e-6
