@@ -65,7 +65,12 @@ class RenderConfig:
     # contract as march_overrelax, composable with it.
     march_hierarchical: bool = False
     hierarchical_factor: int = 5
-    cone_safety: float = 2.0
+    # Safety multiplier on the cone slope.  The Lipschitz bound needs 1.0;
+    # the margin covers SDF dips between the prepass's visited points (the
+    # handoff is also one full step behind the stopping point).  Measured
+    # handoff clearance at 1.2 is ~13x sdf_epsilon on the example designs
+    # (tests/test_pallas.py asserts clearance at the configured value).
+    cone_safety: float = 1.2
 
 
 # Mesh/grid extraction knobs live on compiler.ExportConfig (the reference's
