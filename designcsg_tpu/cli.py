@@ -345,7 +345,9 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8642)
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=480)
-    p.add_argument("--backend", choices=["jnp", "pallas"], default="jnp")
+    p.add_argument(
+        "--backend", choices=["auto", "jnp", "pallas"], default="auto"
+    )
     p.set_defaults(fn=cmd_studio)
 
     args = parser.parse_args(argv)

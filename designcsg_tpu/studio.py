@@ -165,9 +165,15 @@ class StudioSession:
         workspace: Workspace,
         width: int = 640,
         height: int = 480,
-        backend: str = "jnp",
+        backend: str = "auto",
     ):
         self.workspace = workspace
+        if backend == "auto":
+            # Fast path on TPU (unsupported scenes fall back per-run inside
+            # _make_render_fn); jnp elsewhere.
+            import jax
+
+            backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
         self.config = RenderConfig(width=width, height=height)
         self.backend = backend
         self.camera = Camera.initial()
@@ -176,6 +182,9 @@ class StudioSession:
         self._frame: Optional[np.ndarray] = None
         self.console: list = []
         self._lock = threading.Lock()
+        # Serializes render-vs-orbit from concurrent HTTP handler threads
+        # (the reference serializes through the single wx idle loop).
+        self._render_lock = threading.Lock()
         self.export_status: dict = {"state": "idle"}
         self._export_thread: Optional[threading.Thread] = None
 
@@ -248,11 +257,12 @@ class StudioSession:
     def render(self) -> np.ndarray:
         if self.scene is None:
             raise RuntimeError("no scene loaded — run a design first")
-        if self._frame is None:
-            t0 = time.time()
-            self._frame = self._render_fn(self.camera)
-            self.log(f"rendered in {time.time() - t0:.2f}s")
-        return self._frame
+        with self._render_lock:
+            if self._frame is None:
+                t0 = time.time()
+                self._frame = self._render_fn(self.camera)
+                self.log(f"rendered in {time.time() - t0:.2f}s")
+            return self._frame
 
     def render_png(self) -> bytes:
         from PIL import Image
@@ -296,6 +306,9 @@ class StudioSession:
 
         status = {"state": "running", "stage": "", "fraction": 0.0, "t0": time.time()}
         self.export_status = status
+        # Capture the scene now: a Run during export must not swap the mesh
+        # being extracted mid-flight.
+        scene = self.scene
 
         def progress(stage, frac):
             status["stage"] = stage
@@ -305,7 +318,7 @@ class StudioSession:
             from .compiler import ExportConfig
             from .export.pipeline import export_mesh
 
-            config = self.scene.export_config
+            config = scene.export_config
             if grid_level is not None:
                 import dataclasses
 
@@ -314,7 +327,7 @@ class StudioSession:
                 )
             try:
                 mesh, report = export_mesh(
-                    self.scene,
+                    scene,
                     config,
                     stl_path=stl_path,
                     ply_path=ply_path,
@@ -596,7 +609,7 @@ class StudioServer(ThreadingHTTPServer):
     daemon_threads = True
 
     def __init__(self, workspace_root: str, port: int = 0, host: str = "127.0.0.1",
-                 width: int = 640, height: int = 480, backend: str = "jnp"):
+                 width: int = 640, height: int = 480, backend: str = "auto"):
         self.workspace = Workspace(workspace_root)
         self.session = StudioSession(
             self.workspace, width=width, height=height, backend=backend
