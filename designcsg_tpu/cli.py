@@ -65,6 +65,8 @@ def cmd_render(args):
     from designcsg_tpu.config import RenderConfig
     from designcsg_tpu.ops.raymarch import render_scene, to_u8
 
+    import dataclasses
+
     scene = load_design(args.design)
     fast = getattr(args, "fast", False)
     config = RenderConfig(
@@ -74,15 +76,17 @@ def cmd_render(args):
         # --fast: over-relaxed stepping + the hierarchical cone prepass —
         # both hit-preserving (tests/test_raymarch.py, tests/test_pallas.py).
         march_overrelax=1.6 if fast else 1.0,
-        march_hierarchical=fast
-        and args.width % 5 == 0
-        and args.height % 5 == 0,
     )
+    if (
+        fast
+        and args.width % config.hierarchical_factor == 0
+        and args.height % config.hierarchical_factor == 0
+    ):
+        config = dataclasses.replace(config, march_hierarchical=True)
     cam = _camera(args)
     t0 = time.time()
     use_pallas = args.backend == "pallas"
     if use_pallas:
-        import jax
         import jax.numpy as jnp
 
         from designcsg_tpu.ops.interpreter import as_device_arrays
@@ -95,10 +99,13 @@ def cmd_render(args):
         if not supports_scene(scene):
             print("scene has unregistered kernel brushes; falling back to jnp")
             use_pallas = False
-        elif config.march_hierarchical:
-            render = make_hierarchical_renderer(scene, config)
         else:
-            render = make_pallas_renderer(scene, config)
+            factory = (
+                make_hierarchical_renderer
+                if config.march_hierarchical
+                else make_pallas_renderer
+            )
+            render = factory(scene, config)
             campos, rgt, upp, fwd = (jnp.asarray(a) for a in cam.as_arrays())
             img = render(as_device_arrays(scene.arrays), campos, rgt, upp, fwd)
     if not use_pallas:

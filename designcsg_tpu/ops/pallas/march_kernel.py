@@ -412,7 +412,10 @@ def make_pallas_renderer(
         # Masks are f32 0/1 — Mosaic cannot carry i1 vectors through
         # scf.while ("failed to legalize scf.yield").
         hit0 = zero
-        miss0 = zero
+        # A prepass handoff past the far plane is already a miss (the plain
+        # march never hit-tests points with d > max_d; the prepass's own
+        # last landing point is unevaluated and could graze a surface).
+        miss0 = jnp.where(d0 > max_d, 1.0, 0.0) if t0_input else zero
 
         if omega <= 1.0:
 

@@ -187,6 +187,7 @@ class StudioSession:
         self._render_lock = threading.Lock()
         self.export_status: dict = {"state": "idle"}
         self._export_thread: Optional[threading.Thread] = None
+        self._export_active = False
 
     def log(self, text: str) -> None:
         # The reference drains a mutexed logString into the console on idle
@@ -277,16 +278,21 @@ class StudioSession:
     def orbit(self, da: float, db: float) -> None:
         # Same drag semantics as the reference's motion handler
         # (DrawPane.cpp:561-589 via rotateAroundVector on the frame triple).
-        self.camera.orbit(da, db)
-        self._frame = None
+        # Camera mutation takes the render lock so an in-flight render can't
+        # mix poses or cache a stale frame past the invalidation.
+        with self._render_lock:
+            self.camera.orbit(da, db)
+            self._frame = None
 
     def zoom(self, dz: float) -> None:
-        self.camera.zoom(dz)
-        self._frame = None
+        with self._render_lock:
+            self.camera.zoom(dz)
+            self._frame = None
 
     def reset_camera(self) -> None:
-        self.camera = Camera.initial()
-        self._frame = None
+        with self._render_lock:
+            self.camera = Camera.initial()
+            self._frame = None
 
     # -- export --
     def start_export(
@@ -301,8 +307,10 @@ class StudioSession:
         is polled via :attr:`export_status`."""
         if self.scene is None:
             raise RuntimeError("no scene loaded — run a design first")
-        if self._export_thread is not None and self._export_thread.is_alive():
-            return False
+        with self._lock:  # atomic check-then-start (concurrent POSTs)
+            if self._export_active:
+                return False
+            self._export_active = True
 
         status = {"state": "running", "stage": "", "fraction": 0.0, "t0": time.time()}
         self.export_status = status
@@ -339,6 +347,9 @@ class StudioSession:
                 status["error"] = traceback.format_exc()
                 self.log(status["error"])
                 return
+            finally:
+                with self._lock:
+                    self._export_active = False
             status.update(
                 state="done",
                 triangles=int(report.num_triangles),
@@ -421,7 +432,7 @@ PAGE_HTML = """<!doctype html>
 </div>
 <pre id="console"></pre>
 <script>
-let current = null, tab = 'design', texts = {design:'', library:''};
+let current = null, tab = 'design', texts = {design:'', library:''}, libLoaded = false;
 const $ = id => document.getElementById(id);
 function setTab(t){ texts[tab] = $('editor').value; tab = t;
   $('tab-design').classList.toggle('active', t==='design');
@@ -437,11 +448,14 @@ async function refreshList(){
   d.designs.forEach(n=>{const o=document.createElement('option');o.value=n;
     o.textContent=n; sel.appendChild(o);});
   if (d.last) sel.value = d.last; }
+async function loadLibrary(){
+  const l = await api('/api/design?name=designlibrary');
+  texts.library = l.text; libLoaded = true;
+  if (tab==='library') $('editor').value = texts.library; }
 async function openDesign(){
   current = $('designs').value; if(!current) return;
   const d = await api('/api/design?name='+encodeURIComponent(current));
-  texts.design = d.text; const l = await api('/api/design?name=designlibrary');
-  texts.library = l.text; $('editor').value = texts[tab];
+  texts.design = d.text; $('editor').value = texts[tab];
   status(current + ' opened'); }
 async function newDesign(){
   const n = $('newname').value.trim(); if(!n) return;
@@ -450,7 +464,8 @@ async function newDesign(){
 async function save(){
   texts[tab] = $('editor').value;
   if (current) await api('/api/save', {name:current, text:texts.design});
-  await api('/api/save', {name:'designlibrary', text:texts.library});
+  // Never overwrite the library with text we never loaded.
+  if (libLoaded) await api('/api/save', {name:'designlibrary', text:texts.library});
   status('saved'); }
 async function saveAs(){
   const n = $('newname').value.trim(); if(!n) return;
@@ -463,7 +478,8 @@ async function del(){
 async function run(){
   texts[tab] = $('editor').value; await save();
   status('running…');
-  const r = await api('/api/run', {name: current});
+  const r = await api('/api/run',
+    current ? {name: current} : {text: texts.design});
   status(r.ok ? 'scene loaded' : 'script error — see console');
   await refresh(); }
 async function refresh(){
@@ -489,7 +505,7 @@ $('viewport').addEventListener('wheel', async e=>{
 document.addEventListener('keydown', e=>{
   if ((e.ctrlKey||e.metaKey) && e.key==='Enter'){ e.preventDefault(); run(); }
   if ((e.ctrlKey||e.metaKey) && e.key==='s'){ e.preventDefault(); save(); } });
-refreshList().then(()=>{ if($('designs').value){ openDesign(); } });
+refreshList().then(()=>{ loadLibrary(); if($('designs').value){ openDesign(); } });
 </script></body></html>
 """
 
@@ -519,13 +535,13 @@ class StudioHandler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         try:
-            self._route(self.path.split("?")[0], {})
+            self._route(self.path.split("?")[0], {}, "GET")
         except Exception:
             self._json({"error": traceback.format_exc()}, 500)
 
     def do_POST(self):
         try:
-            self._route(self.path.split("?")[0], self._body())
+            self._route(self.path.split("?")[0], self._body(), "POST")
         except Exception:
             self._json({"error": traceback.format_exc()}, 500)
 
@@ -535,7 +551,7 @@ class StudioHandler(BaseHTTPRequestHandler):
         q = parse_qs(urlparse(self.path).query)
         return {k: v[0] for k, v in q.items()}
 
-    def _route(self, path: str, body: dict):
+    def _route(self, path: str, body: dict, method: str = "GET"):
         s = self.session
         ws = s.workspace
         if path == "/":
@@ -562,8 +578,12 @@ class StudioHandler(BaseHTTPRequestHandler):
         elif path == "/api/run":
             if body.get("name"):
                 ok = s.run_design(body["name"])
+            elif body.get("text"):
+                ok = s.run_text(body["text"])
             else:
-                ok = s.run_text(body.get("text", ""))
+                s.log("run: no design open and no script text sent")
+                self._json({"ok": False, "error": "nothing to run"})
+                return
             self._json({"ok": ok})
         elif path == "/api/console":
             with s._lock:
@@ -584,12 +604,14 @@ class StudioHandler(BaseHTTPRequestHandler):
             s.reset_camera()
             self._json({"ok": True})
         elif path == "/api/export":
-            if body:
+            # POST starts an export; GET polls its status.
+            if method == "POST":
                 name = ws.get_last() or "design"
                 stl = body.get("stl") or os.path.join(
                     ws.root, "Exports", f"{name}.stl"
                 )
-                os.makedirs(os.path.dirname(stl), exist_ok=True)
+                if os.path.dirname(stl):
+                    os.makedirs(os.path.dirname(stl), exist_ok=True)
                 started = s.start_export(
                     stl,
                     ply_path=body.get("ply"),

@@ -194,3 +194,31 @@ def test_studio_designlibrary_importable(server):
     c.json("POST", "/api/save", {"name": "libuser", "text": design})
     _, r = c.json("POST", "/api/run", {"name": "libuser"})
     assert r["ok"]
+
+
+def test_studio_export_ui_contract(server):
+    """The browser UI posts an empty JSON body to start an export and GETs
+    the same path to poll — both must work (regression: empty body was
+    treated as a poll)."""
+    c = Client(server)
+    c.json("POST", "/api/save", {"name": "ball", "text": TINY_DESIGN})
+    _, r = c.json("POST", "/api/run", {"name": "ball"})
+    assert r["ok"]
+    _, r = c.json("POST", "/api/export", {"grid_level": 3})
+    assert r["started"] and r["stl"].endswith("ball.stl")
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        _, s = c.json("GET", "/api/export")
+        if s["state"] in ("done", "failed"):
+            break
+        time.sleep(0.2)
+    assert s["state"] == "done", s.get("error")
+    assert os.path.exists(r["stl"])
+
+
+def test_studio_run_nothing(server):
+    """Run with no design open and no text is a clean error, not a silent
+    empty-scene swap."""
+    c = Client(server)
+    _, r = c.json("POST", "/api/run", {})
+    assert r["ok"] is False and "error" in r
