@@ -71,6 +71,22 @@ class RenderConfig:
     # handoff clearance at 1.2 is ~13x sdf_epsilon on the example designs
     # (tests/test_pallas.py asserts clearance at the configured value).
     cone_safety: float = 1.2
+    # Per-tile exact object culling in the Pallas march (ops/pallas/cull.py):
+    # scalar interval arithmetic over the tape proves which brush IMPORTs
+    # cannot influence any ray in the tile's view cone and skips them.  The
+    # substituted bound keeps every CSG result exact (monotone interval
+    # argument), so k1 semantics and the Pallas-vs-jnp parity gates are
+    # unchanged.  None (default) = off: measured on the shipped designs the
+    # cull nets out neutral-to-negative — cheap-brush tapes are already at
+    # the VPU issue ceiling, a live Mosaic branch costs about one cheap
+    # brush eval, and in open space the nearest (unprunable) object is
+    # often the expensive one (cull.worth_culling).  Opt in for scenes with
+    # many expensive, spatially-separated brushes.
+    march_cull: Optional[bool] = None
+    # Micro-steps per march-loop iteration in the fused Pallas renderer
+    # (exact semantics; the tile-exit reduction amortizes over this many
+    # steps, a finished tile wastes at most unroll-1 masked evals).
+    march_unroll: int = 1
 
 
 # Mesh/grid extraction knobs live on compiler.ExportConfig (the reference's

@@ -35,6 +35,7 @@ class BatchEvaluator:
         normal_mode: str = "fd",
         sharded: bool = False,
         use_pallas: Optional[bool] = None,
+        pallas_interpret: bool = False,
     ):
         self.scene = scene
         self.arrays = arrays if arrays is not None else scene.arrays
@@ -43,31 +44,37 @@ class BatchEvaluator:
             # Pallas kernels need a TPU backend and kernel-twin brushes.
             from .ops.pallas import supports_scene
 
-            use_pallas = (
-                jax.default_backend() == "tpu"
-                and not sharded
-                and supports_scene(scene)
-            )
+            use_pallas = jax.default_backend() == "tpu" and supports_scene(scene)
         self.use_pallas = bool(use_pallas)
         if self.use_pallas:
             from .ops.pallas import make_pallas_point_eval
 
-            sdf = make_pallas_point_eval(scene, gizmo=gizmo)
+            sdf = make_pallas_point_eval(
+                scene, gizmo=gizmo, interpret=pallas_interpret
+            )
             normal = make_normal_fn(sdf, mode="fd")
         else:
             sdf = make_primary_sdf(scene, gizmo=gizmo)
             normal = make_normal_fn(sdf, mode=normal_mode)
-            if sharded:
-                from .parallel.render import shard_pointwise
+        if sharded:
+            # Pallas composes with shard_map the same way the jnp path does
+            # (each device runs the kernel on its point shard —
+            # parallel/export.py uses the identical pattern for grids).
+            from .parallel.render import shard_pointwise
 
-                sdf = shard_pointwise(sdf)
-                normal = shard_pointwise(normal)
+            sdf = shard_pointwise(sdf)
+            normal = shard_pointwise(normal)
         self._sdf_raw = sdf
         self._normal_raw = normal
         self._sdf = jax.jit(sdf)
         self._normal = jax.jit(normal)
         self._device_arrays = jax.tree_util.tree_map(jnp.asarray, self.arrays)
         self._refine_cache = {}
+        # Honest SDF-eval accounting (ExportReport.sdf_evals): every point
+        # that reaches the device through this evaluator is counted; an FD
+        # normal costs 6 tape evaluations (k2.cl:149-179), analytic 1.
+        self.sdf_eval_count = 0
+        self._normal_eval_cost = 6 if (self.use_pallas or normal_mode == "fd") else 1
 
     def set_arrays(self, arrays: SceneArrays):
         """Swap scene parameters (the reference's setArbitraryData path,
@@ -97,10 +104,12 @@ class BatchEvaluator:
 
     def eval_sdf_at_points(self, points: np.ndarray) -> np.ndarray:
         """f32[N, 3] -> f32[N] (Evaluator.cpp:117-162 semantics)."""
+        self.sdf_eval_count += len(points)
         return self._run_chunked(self._sdf, points, 1)
 
     def eval_normal_at_points(self, points: np.ndarray) -> np.ndarray:
         """f32[N, 3] -> f32[N, 3] (Evaluator.cpp:167-211 semantics)."""
+        self.sdf_eval_count += self._normal_eval_cost * len(points)
         return self._run_chunked(self._normal, points, 3)
 
     def refine_on_device(
@@ -112,6 +121,7 @@ class BatchEvaluator:
         replaces steps*2 host<->device exchanges)."""
         v = np.asarray(vertices, dtype=np.float32)
         n = v.shape[0]
+        self.sdf_eval_count += int(steps) * n * (1 + self._normal_eval_cost)
         pad_to = max(32768, 1 << int(np.ceil(np.log2(max(n, 1)))))
         key = (pad_to, int(steps), float(step_scale))
         if key not in self._refine_cache:

@@ -216,12 +216,18 @@ def extract_surface_adaptive(
     progress: Optional[Callable[[str, float], None]] = None,
     stats: Optional[dict] = None,
     heal: bool = True,
+    slab_store=None,
 ) -> Mesh:
     """Multi-resolution extraction over ``center ± half_diameter`` consuming
     ``minimum_octree_level`` / ``maximum_octree_level`` /
     ``complex_surface_threshold`` / ``grid_level`` exactly as the reference
     octree does (see module docstring).  Returns a mesh with coarse
-    triangles on flat regions and crack loops closed (``heal=True``)."""
+    triangles on flat regions and crack loops closed (``heal=True``).
+
+    ``slab_store`` (a pipeline.SlabStore) persists each completed *level* —
+    its emitted triangles and the next wave's cell list — so a crashed run
+    resumes at the level in flight instead of restarting (the reference's
+    one-shot export loses everything, SURVEY.md §5.4)."""
     min_l = int(config.minimum_octree_level)
     max_l = int(config.maximum_octree_level)
     if not 0 <= min_l <= max_l:
@@ -250,6 +256,18 @@ def extract_surface_adaptive(
     for L in range(min_l, max_l + 1):
         if cells.shape[0] == 0:
             break
+        if slab_store is not None:
+            shard = slab_store.load(L)
+            if shard is not None:
+                if shard["keys"].size:
+                    all_keys.append(shard["keys"])
+                    all_pos.append(shard["pos"])
+                    level_tris[L] = int(shard["keys"].size // 3)
+                    levels_emitted += 1
+                cells = shard["next_cells"].reshape(-1, 3)
+                if progress is not None:
+                    progress("extract", (L - min_l + 1) / n_levels)
+                continue
         res = 1 << L
         r1 = res + 1
         scale = 1 << (max_l - L)
@@ -295,6 +313,8 @@ def extract_surface_adaptive(
             refine = near & ~emit
 
         # 3. emission at this level, vertices canonical on the fine lattice.
+        lvl_keys = np.zeros((0,), np.int64)
+        lvl_pos = np.zeros((0, 3), np.float32)
         if emit.any():
             ecells, evals_ = cells[emit], vals[emit]
             offs = _canonical_offsets(
@@ -302,13 +322,17 @@ def extract_surface_adaptive(
             )
             keys, pos = _emit_cells(ecells, evals_, offs, scale, fine_res)
             if keys.shape[0]:
-                all_keys.append(keys.reshape(-1))
-                all_pos.append(pos.reshape(-1, 3))
+                lvl_keys = keys.reshape(-1)
+                lvl_pos = pos.reshape(-1, 3)
+                all_keys.append(lvl_keys)
+                all_pos.append(lvl_pos)
                 level_tris[L] = int(keys.shape[0])
                 levels_emitted += 1
 
         rc = cells[refine]
         cells = (rc[:, None, :] * 2 + CORNERS[None, :, :]).reshape(-1, 3)
+        if slab_store is not None:
+            slab_store.save(L, keys=lvl_keys, pos=lvl_pos, next_cells=cells)
         if progress is not None:
             progress("extract", (L - min_l + 1) / n_levels)
 
@@ -330,5 +354,6 @@ def extract_surface_adaptive(
             domain_lo=lo,
             domain_hi=lo + 2.0 * half_diameter,
             eps=fine_cell * 1e-3,
+            stats=stats,
         )
     return mesh

@@ -265,7 +265,17 @@ def export_mesh(
 
     slab = min(slab_cells, resolution)
     if strategy == "auto":
-        strategy = "active" if resolution % slab == 0 else "dense"
+        # The reference's export is *always* the adaptive octree
+        # (DesignCSG.cpp:717-758): honor a design's octree configuration
+        # whenever it is coherent (a real min<max refinement range that the
+        # grid resolution can support); otherwise use the uniform fast path.
+        if (
+            config.minimum_octree_level < config.maximum_octree_level
+            and config.maximum_octree_level <= config.grid_level
+        ):
+            strategy = "adaptive"
+        else:
+            strategy = "active" if resolution % slab == 0 else "dense"
 
     cache_path = None
     slab_store = None
@@ -286,7 +296,10 @@ def export_mesh(
         if os.path.exists(cache_path):
             data = np.load(cache_path)
             mesh = Mesh(vertices=data["vertices"], faces=data["faces"])
-        elif strategy in ("active", "dense", "compact"):
+        elif strategy in ("active", "dense", "compact", "adaptive"):
+            # For the uniform strategies a shard is one z-slab; for adaptive
+            # it is one completed octree level (a crash loses at most the
+            # level in flight).
             slab_store = SlabStore(resume_dir, digest)
 
     if mesh is None:
@@ -296,6 +309,7 @@ def export_mesh(
         if strategy == "adaptive":
             from .adaptive import extract_surface_adaptive
 
+            evals_before = evaluator.sdf_eval_count
             mesh = extract_surface_adaptive(
                 evaluator,
                 center,
@@ -303,7 +317,11 @@ def export_mesh(
                 config,
                 progress=extract_progress,
                 stats=stats,
+                slab_store=slab_store,
             )
+            # Adaptive's whole point is fewer evaluations than the dense
+            # formula below — report what actually ran (evaluator-counted).
+            evals += evaluator.sdf_eval_count - evals_before
         elif strategy == "active":
             # Active-block path (export/active.py): the per-block surface
             # mask reduces on device and only surface blocks cross the host
@@ -384,19 +402,25 @@ def export_mesh(
                 slab_store=slab_store,
                 stats=stats,
             )
-        evals += (resolution + 1) ** 2 * (resolution + slab_cells)
+        if strategy != "adaptive":
+            # Uniform strategies evaluate every corner plane once per slab
+            # pass: (res+1)^2 corners x (res + res/slab) planes.
+            evals += (resolution + 1) ** 2 * (
+                resolution + -(-resolution // slab)
+            )
         if cache_path is not None:
             np.savez(cache_path, vertices=mesh.vertices, faces=mesh.faces)
     stage_seconds["extract"] = time.time() - t0
 
     t0 = time.time()
     _tick(ExportStage.REFINING_VERTICES.name, 0.0)
+    evals_before_refine = evaluator.sdf_eval_count
     refined = evaluator.refine_on_device(
         mesh.vertices, steps=config.gradient_descent_steps
     )
     _tick(ExportStage.REFINING_VERTICES.name, 1.0)
     mesh = Mesh(vertices=refined, faces=mesh.faces)
-    evals += config.gradient_descent_steps * mesh.num_vertices * 8
+    evals += evaluator.sdf_eval_count - evals_before_refine
     stage_seconds["refine"] = time.time() - t0
 
     t0 = time.time()

@@ -87,6 +87,7 @@ def stitch_boundary_loops(
     domain_hi: Optional[np.ndarray] = None,
     eps: float = 1e-6,
     max_loop: int = 64,
+    stats: Optional[dict] = None,
 ) -> Mesh:
     """Close crack loops by triangulating them — the completion the
     reference's retopology pass lacks.
@@ -104,7 +105,9 @@ def stitch_boundary_loops(
     Loops lying entirely on the domain box (``domain_lo``/``domain_hi``
     faces) are genuine clip boundaries, not cracks — left open.  Loops
     longer than ``max_loop`` vertices are left open as a safety valve
-    (a real crack sliver is local)."""
+    (a real crack sliver is local); every loop left open that way is
+    *counted and logged* (``stats['open_loops']`` + a warning), so a
+    degenerate run cannot silently claim "healed" while leaking cracks."""
     bedges = boundary_edges(mesh)
     if bedges.shape[0] == 0:
         return mesh
@@ -123,6 +126,8 @@ def stitch_boundary_loops(
     used = np.zeros(bedges.shape[0], dtype=bool)
 
     new_faces: List[Tuple[int, int, int]] = []
+    open_loops = 0
+    closed_loops = 0
     for start_idx in range(bedges.shape[0]):
         if used[start_idx]:
             continue
@@ -143,6 +148,8 @@ def stitch_boundary_loops(
             used[nxt] = True
             cur = int(bedges[nxt, 1])
         if not ok or len(loop) < 3:
+            if len(loop) > max_loop:
+                open_loops += 1
             continue
         if on_domain is not None and on_domain[np.asarray(loop)].all():
             continue  # clip boundary, not a crack
@@ -151,7 +158,20 @@ def stitch_boundary_loops(
         # present the matching orientation.
         cap = _min_area_triangulation(loop[::-1], mesh.vertices)
         new_faces.extend(cap)
+        closed_loops += 1
 
+    if stats is not None:
+        stats["open_loops"] = stats.get("open_loops", 0) + open_loops
+        stats["closed_loops"] = stats.get("closed_loops", 0) + closed_loops
+    if open_loops:
+        from ..observability import logger
+
+        logger.warning(
+            "stitch_boundary_loops left %d crack loop(s) longer than %d "
+            "vertices open (healing is incomplete for this mesh)",
+            open_loops,
+            max_loop,
+        )
     if not new_faces:
         return mesh
     faces = np.concatenate(

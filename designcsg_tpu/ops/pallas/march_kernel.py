@@ -31,8 +31,23 @@ from ...compiler import CompiledScene, SceneArrays
 from ...config import RenderConfig
 from ...constants import AXES_SHADE_RADIUS, INITIAL_SCALE, MAX_DISTANCE
 from .brushes_kernel import kernel_brushes_for_scene, kernel_materials_for_scene
+from .cull import make_tape_culler, ray_box
 from .sdf_kernel import _bank_inputs, _bank_specs
 from .tape import make_component_tape, smem_bank_reader
+
+_BIG = 3.0e38
+
+
+def _active_d_interval(active, d):
+    """Scalar (min, max) of ``d`` over active rays (f32 0/1 mask)."""
+    on = active > 0.5
+    lo = jnp.min(jnp.where(on, d, _BIG))
+    hi = jnp.max(jnp.where(on, d, -_BIG))
+    return (lo, hi)
+
+
+def _plane_interval(p):
+    return (jnp.min(p), jnp.max(p))
 
 TILE_H = 8
 TILE_W = 128
@@ -331,6 +346,7 @@ def make_pallas_renderer(
     columns away).  Auto-enabled when the viewport divides by 32."""
     if config is None:
         config = RenderConfig()
+    unroll = max(1, int(getattr(config, "march_unroll", 1)))
     if block_layout is None:
         block_layout = config.width % 32 == 0 and config.height % 32 == 0
     if block_layout:
@@ -343,6 +359,13 @@ def make_pallas_renderer(
             f"{TILE_W}x{TILE_H}"
         )
     tape_eval = make_component_tape(scene, gizmo=config.gizmo)
+    # march_cull=None (default) currently means OFF — see
+    # cull.worth_culling's docstring for the measured economics.
+    culler = (
+        make_tape_culler(scene, gizmo=config.gizmo)
+        if getattr(config, "march_cull", None)
+        else None
+    )
     kbrushes = kernel_brushes_for_scene(scene)
     kmaterials = kernel_materials_for_scene(scene)
     shape_id = [int(s) for s in np.asarray(scene.arrays.shape_id)]
@@ -373,8 +396,8 @@ def make_pallas_renderer(
         fwd = (cam_ref[3, 0], cam_ref[3, 1], cam_ref[3, 2])
         ctx = EvalContext(ad=ad_ref, rgt=rgt, upp=upp, fwd=fwd)
 
-        def sdf(x, y, z):
-            return tape_eval(x, y, z, bank, ctx)
+        def sdf(x, y, z, cull=None):
+            return tape_eval(x, y, z, bank, ctx, cull)
 
         i = pl.program_id(0)
         j = pl.program_id(1)
@@ -417,7 +440,36 @@ def make_pallas_renderer(
         # last landing point is unevaluated and could graze a surface).
         miss0 = jnp.where(d0 > max_d, 1.0, 0.0) if t0_input else zero
 
+        # Positions are exactly o + d*r, so the tile's whole march segment
+        # lives in the box of o + [d_min, max_d] * r (its view cone).  One
+        # cull evaluation per tile — the scalar interval chain runs once,
+        # outside the loop, and the per-step branches test loop-invariant
+        # scalars: brushes off the tile's cone are skipped for the entire
+        # march (the per-tile object culling of VERDICT r2 #1, made exact).
+        if culler is not None:
+            r_ivs = (
+                _plane_interval(rx),
+                _plane_interval(ry),
+                _plane_interval(rz),
+            )
+            o3 = (ox, oy, oz)
+            seg = (jnp.min(d0), jnp.float32(max_d))
+            box = ray_box(o3, r_ivs, seg)
+            # The post-loop FD normals probe ±normal_epsilon off hit points.
+            box = tuple((lo - n_eps, hi + n_eps) for lo, hi in box)
+            preds, substs = culler(box, bank, ctx)
+            cone_cull = (culler.groups, preds, substs)
+        else:
+            cone_cull = None
+
         if omega <= 1.0:
+            # K micro-steps per loop iteration: the tile-exit test (a full
+            # cross-lane reduction + loop branch) amortizes over K exact
+            # march steps; a finished tile pays at most K-1 masked no-op
+            # evals at its end.  State evolution is bit-identical to the
+            # 1-step loop (masked steps change nothing; steps past
+            # max_steps are gated off).
+            K = unroll
 
             def cond(state):
                 step, _, _, _, _, hit, miss = state
@@ -425,24 +477,20 @@ def make_pallas_renderer(
 
             def body(state):
                 step, vx, vy, vz, d, hit, miss = state
-                active = (1.0 - hit) * (1.0 - miss)
-                s = sdf(vx, vy, vz) * tol
-                new_hit = active * jnp.where(s < eps, 1.0, 0.0)
-                advance = active * (1.0 - new_hit)
-                vx = vx + advance * s * rx
-                vy = vy + advance * s * ry
-                vz = vz + advance * s * rz
-                d = d + advance * s
-                new_miss = advance * jnp.where(d > max_d, 1.0, 0.0)
-                return (
-                    step + 1,
-                    vx,
-                    vy,
-                    vz,
-                    d,
-                    jnp.maximum(hit, new_hit),
-                    jnp.maximum(miss, new_miss),
-                )
+                for i in range(K):
+                    within = jnp.where(step + i < max_steps, 1.0, 0.0)
+                    active = (1.0 - hit) * (1.0 - miss) * within
+                    s = sdf(vx, vy, vz, cone_cull) * tol
+                    new_hit = active * jnp.where(s < eps, 1.0, 0.0)
+                    advance = active * (1.0 - new_hit)
+                    vx = vx + advance * s * rx
+                    vy = vy + advance * s * ry
+                    vz = vz + advance * s * rz
+                    d = d + advance * s
+                    new_miss = advance * jnp.where(d > max_d, 1.0, 0.0)
+                    hit = jnp.maximum(hit, new_hit)
+                    miss = jnp.maximum(miss, new_miss)
+                return (step + K, vx, vy, vz, d, hit, miss)
 
             _, vx, vy, vz, d, hit_f, miss_f = jax.lax.while_loop(
                 cond, body, (jnp.int32(0), vx0, vy0, vz0, d0, hit0, miss0)
@@ -463,7 +511,7 @@ def make_pallas_renderer(
             def body(state):
                 step, vx, vy, vz, d, hit, miss, prev_r, step_len, omg = state
                 active = (1.0 - hit) * (1.0 - miss)
-                s = sdf(vx, vy, vz) * tol
+                s = sdf(vx, vy, vz, cone_cull) * tol
                 sor_ok = jnp.where(jnp.abs(s) + prev_r < step_len, 0.0, 1.0)
                 sor_ok = jnp.where(omg > 1.0, sor_ok, 1.0)
                 new_hit = active * sor_ok * jnp.where(s < eps, 1.0, 0.0)
@@ -515,10 +563,11 @@ def make_pallas_renderer(
         py = oy + d * ry
         pz = oz + d * rz
 
-        # FD normal, 6 tape evals (k1.cl:381-418)
-        gx = sdf(px + n_eps, py, pz) - sdf(px - n_eps, py, pz)
-        gy = sdf(px, py + n_eps, pz) - sdf(px, py - n_eps, pz)
-        gz = sdf(px, py, pz + n_eps) - sdf(px, py, pz - n_eps)
+        # FD normal, 6 tape evals (k1.cl:381-418); the cone box was inflated
+        # by n_eps so the probes stay inside the culled bound.
+        gx = sdf(px + n_eps, py, pz, cone_cull) - sdf(px - n_eps, py, pz, cone_cull)
+        gy = sdf(px, py + n_eps, pz, cone_cull) - sdf(px, py - n_eps, pz, cone_cull)
+        gz = sdf(px, py, pz + n_eps, cone_cull) - sdf(px, py, pz - n_eps, cone_cull)
         inv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-30)
         nx, ny, nz = gx * inv, gy * inv, gz * inv
 

@@ -97,51 +97,85 @@ def make_pallas_point_eval(
     return point_eval
 
 
+BZ = 8  # z cells per grid block
+BY = 32  # y cells per grid block
+
+
 def make_grid_eval(
     scene: CompiledScene,
     gizmo: bool = False,
     interpret: bool = False,
+    cull: Optional[bool] = None,
 ):
     """Returns ``grid_eval(arrays, lo, cell, z0, slab, resolution) ->
     f32[slab, res, res]`` — SDF at grid corners ``lo + cell * (x, y, z0+z)``.
 
     ``resolution`` and ``slab`` are static; ``lo``/``cell``/``z0`` are traced
     scalars so one executable serves every slab and bounding box.
+
+    Each kernel instance owns a *spatially compact* (BZ, BY, 128) cell block
+    (not a flat row stripe), so the exact interval cull (ops/pallas/cull.py)
+    can prune whole brush evaluations per block: the scalar interval chain
+    runs once per 32K points, and blocks far from an object skip its brush
+    entirely — the dominant win for large dense grids, whose tape is
+    otherwise instruction-issue bound.
     """
     tape_eval = make_component_tape(scene, gizmo=gizmo)
+    from .cull import make_tape_culler
 
-    def kernel(scalars_ref, pos_ref, right_ref, up_ref, fwd_ref, ad_ref, out_ref, *, ny):
+    # cull=None (default) currently means OFF: measured on the shipped
+    # designs the exact cull nets out neutral-to-negative (see
+    # cull.worth_culling's docstring for why); pass cull=True for scenes
+    # with many expensive, spatially-separated brushes.
+    culler = make_tape_culler(scene, gizmo=gizmo) if cull else None
+
+    def kernel(scalars_ref, pos_ref, right_ref, up_ref, fwd_ref, ad_ref, out_ref):
         # scalars: [lox, loy, loz, cell, z0]
         lox = scalars_ref[0]
         loy = scalars_ref[1]
         loz = scalars_ref[2]
         cell = scalars_ref[3]
         z0 = scalars_ref[4]
-        i = pl.program_id(0)  # row-block index over (slab*ny) rows
-        j = pl.program_id(1)  # col-block index over nx cols
-        rows = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0) + i * SUB
-        cols = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1) + j * LANE
-        zi = rows // ny
-        yi = rows % ny
-        x = lox + cell * cols.astype(jnp.float32)
+        k0 = pl.program_id(0)
+        k1 = pl.program_id(1)
+        k2 = pl.program_id(2)
+        shape = (BZ, BY, LANE)
+        zi = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + k0 * BZ
+        yi = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + k1 * BY
+        xi = jax.lax.broadcasted_iota(jnp.int32, shape, 2) + k2 * LANE
+        x = lox + cell * xi.astype(jnp.float32)
         y = loy + cell * yi.astype(jnp.float32)
         z = loz + cell * (z0 + zi.astype(jnp.float32))
         bank = smem_bank_reader(pos_ref, right_ref, up_ref, fwd_ref)
         ctx = EvalContext(ad=ad_ref)
-        out_ref[:] = tape_eval(x, y, z, bank, ctx)
+        if culler is not None:
+            x0 = lox + cell * (k2 * LANE).astype(jnp.float32)
+            y0 = loy + cell * (k1 * BY).astype(jnp.float32)
+            zb = loz + cell * (z0 + (k0 * BZ).astype(jnp.float32))
+            box = (
+                (x0, x0 + cell * (LANE - 1)),
+                (y0, y0 + cell * (BY - 1)),
+                (zb, zb + cell * (BZ - 1)),
+            )
+            preds, substs = culler(box, bank, ctx)
+            out_ref[:] = tape_eval(
+                x, y, z, bank, ctx, (culler.groups, preds, substs)
+            )
+        else:
+            out_ref[:] = tape_eval(x, y, z, bank, ctx)
 
     @functools.partial(jax.jit, static_argnames=("slab", "ny", "nx"))
     def grid_eval(
         arrays: SceneArrays, lo, cell, z0, slab: int, ny: int, nx: Optional[int] = None
     ):
         """SDF at the (slab, ny, nx) lattice ``lo + cell*(x, y, z0+z)``.
-        ny/nx need not be tile-aligned; padding rows/cols are evaluated and
-        sliced off."""
+        Dimensions need not be block-aligned; padding cells are evaluated
+        and sliced off."""
         if nx is None:
             nx = ny
         nx_pad = -(-nx // LANE) * LANE
-        total_rows = slab * ny
-        rows_pad = -(-total_rows // SUB) * SUB
+        ny_pad = -(-ny // BY) * BY
+        nz_pad = -(-slab // BZ) * BZ
         scalars = jnp.concatenate(
             [
                 jnp.asarray(lo, jnp.float32).reshape(3),
@@ -150,15 +184,15 @@ def make_grid_eval(
             ]
         )
         out = pl.pallas_call(
-            functools.partial(kernel, ny=ny),
-            grid=(rows_pad // SUB, nx_pad // LANE),
+            kernel,
+            grid=(nz_pad // BZ, ny_pad // BY, nx_pad // LANE),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + _bank_specs(),
             out_specs=pl.BlockSpec(
-                (SUB, LANE), lambda i, j: (i, j), memory_space=pltpu.VMEM
+                (BZ, BY, LANE), lambda i, j, k: (i, j, k), memory_space=pltpu.VMEM
             ),
-            out_shape=jax.ShapeDtypeStruct((rows_pad, nx_pad), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((nz_pad, ny_pad, nx_pad), jnp.float32),
             interpret=interpret,
         )(scalars, *_bank_inputs(arrays))
-        return out[:total_rows, :nx].reshape(slab, ny, nx)
+        return out[:slab, :ny, :nx]
 
     return grid_eval

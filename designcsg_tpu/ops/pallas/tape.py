@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Callable, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,23 +31,63 @@ from .brushes_kernel import kernel_brushes_for_scene
 
 
 def make_component_tape(scene: CompiledScene, gizmo: bool = False) -> Callable:
-    """Build ``tape_eval(x, y, z, bank, ctx) -> d`` where x/y/z are component
-    arrays and ``bank(i) -> (o3, r3, u3, f3)`` yields the 12 object-row
-    scalars (from SMEM refs inside a kernel, or plain arrays in tests)."""
+    """Build ``tape_eval(x, y, z, bank, ctx, cull=None) -> d`` where x/y/z
+    are component arrays and ``bank(i) -> (o3, r3, u3, f3)`` yields the 12
+    object-row scalars (from SMEM refs inside a kernel, or plain arrays in
+    tests).
+
+    ``cull`` is an optional ``(groups, preds, substs)`` triple from a
+    cull.make_tape_culler(scene, gizmo) culler (its static ``.groups`` plus
+    the per-step predicates/substitutes): each group of IMPORT slots (slot
+    ``n_imports`` is the gizmo) evaluates its brushes under ONE
+    ``lax.cond``, substituting the proven-exact scalar bounds otherwise —
+    the instruction-issue-bound tape then skips whole brush evaluations for
+    tiles they cannot influence, paying one branch per *group* (a live
+    Mosaic branch costs about one cheap brush eval, so cheap siblings share
+    a branch — see cull.py)."""
     tape = [tuple(int(v) for v in row) for row in np.asarray(scene.arrays.tape)]
     kbrushes = kernel_brushes_for_scene(scene)
+    # (brush, obj) per IMPORT slot, in tape order; slot n_imports = gizmo.
+    import_slots = [
+        (left, right) for opcode, left, right, _ in tape if opcode == OP_IMPORT
+    ]
+    n_imports = len(import_slots)
 
-    def tape_eval(x, y, z, bank, ctx):
+    def tape_eval(x, y, z, bank, ctx, cull=None):
+        def eval_slot(k):
+            if k == n_imports:
+                return gizmo_component_sdf(x, y, z)
+            brush, obj = import_slots[k]
+            (ox, oy, oz), r3, u3, f3 = bank(obj)
+            dx, dy, dz = x - ox, y - oy, z - oz
+            a = dx * r3[0] + dy * r3[1] + dz * r3[2]
+            b = dx * u3[0] + dy * u3[1] + dz * u3[2]
+            c = dx * f3[0] + dy * f3[1] + dz * f3[2]
+            return kbrushes[brush](a, b, c, ctx)
+
+        values = {}
+        if cull is not None:
+            groups, preds, substs = cull
+            for gid, members in enumerate(groups):
+                vals = jax.lax.cond(
+                    preds[gid],
+                    lambda members=members: tuple(
+                        eval_slot(k) for k in members
+                    ),
+                    lambda members=members: tuple(
+                        x * 0.0 + substs[k] for k in members
+                    ),
+                )
+                for k, v in zip(members, vals):
+                    values[k] = v
+
         regs = {}
+        k = 0
         export = jnp.full_like(x, MAX_DISTANCE)
         for opcode, left, right, dest in tape:
             if opcode == OP_IMPORT:
-                (ox, oy, oz), r3, u3, f3 = bank(right)
-                dx, dy, dz = x - ox, y - oy, z - oz
-                a = dx * r3[0] + dy * r3[1] + dz * r3[2]
-                b = dx * u3[0] + dy * u3[1] + dz * u3[2]
-                c = dx * f3[0] + dy * f3[1] + dz * f3[2]
-                regs[dest] = kbrushes[left](a, b, c, ctx)
+                regs[dest] = values[k] if k in values else eval_slot(k)
+                k += 1
             elif opcode == OP_EXPORT:
                 export = regs[left]
             elif opcode == OP_MIN:
@@ -58,7 +99,8 @@ def make_component_tape(scene: CompiledScene, gizmo: bool = False) -> Callable:
             elif opcode == OP_IDENTITY:
                 regs[dest] = regs[left]
         if gizmo:
-            export = jnp.minimum(export, gizmo_component_sdf(x, y, z))
+            gz = values[n_imports] if n_imports in values else eval_slot(n_imports)
+            export = jnp.minimum(export, gz)
         return export
 
     return tape_eval

@@ -26,6 +26,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import secrets
 import threading
 import time
 import traceback
@@ -101,7 +102,13 @@ class Workspace:
         ):
             raise ValueError(f"design name escapes the workspace: {name!r}")
         base = name if name.endswith(".py") else name + ".py"
-        return os.path.join(self.root, base)
+        path = os.path.join(self.root, base)
+        # Belt-and-braces containment check: the pattern filter above misses
+        # platform oddities (e.g. Windows drive-relative "C:foo" names).
+        root = os.path.realpath(self.root)
+        if os.path.commonpath([os.path.realpath(path), root]) != root:
+            raise ValueError(f"design name escapes the workspace: {name!r}")
+        return path
 
     def list_designs(self) -> list:
         out = []
@@ -168,6 +175,10 @@ class StudioSession:
         backend: str = "auto",
     ):
         self.workspace = workspace
+        # Per-session CSRF token: state-changing endpoints require it in an
+        # X-Studio-Token header, which cross-origin "simple" requests cannot
+        # set without a CORS preflight (that this server never grants).
+        self.token = secrets.token_hex(16)
         if backend == "auto":
             # Fast path on TPU (unsupported scenes fall back per-run inside
             # _make_render_fn); jnp elsewhere.
@@ -234,9 +245,13 @@ class StudioSession:
         out = buf.getvalue()
         if out:
             self.log(out)
-        self.scene = scene
-        self._build_renderer()
-        self._frame = None
+        # Swap scene/renderer/frame under the render lock: an in-flight
+        # render of the old scene must not repopulate the frame cache after
+        # the invalidation (it would serve a stale old-scene frame).
+        with self._render_lock:
+            self.scene = scene
+            self._build_renderer()
+            self._frame = None
         self.log(
             f"ran {name}: {scene.num_objects} objects, "
             f"{scene.num_build_steps} tape commands"
@@ -371,10 +386,8 @@ class StudioSession:
 # HTTP surface
 
 
-def _page(title: str) -> str:
-    return (
-        PAGE_HTML.replace("__TITLE__", title)
-    )
+def _page(title: str, token: str = "") -> str:
+    return PAGE_HTML.replace("__TITLE__", title).replace("__TOKEN__", token)
 
 
 PAGE_HTML = """<!doctype html>
@@ -417,7 +430,7 @@ PAGE_HTML = """<!doctype html>
  <span style="flex:1"></span>
  <button onclick="run()" style="background:#2f5e33">Run ▶</button>
  <button onclick="doExport()">Export STL</button>
- <button onclick="fetch('/api/camera/reset',{method:'POST'}).then(refresh)">Reset view</button>
+ <button onclick="api('/api/camera/reset',{}).then(refresh)">Reset view</button>
 </div>
 <div id="editorwrap">
  <div id="tabs">
@@ -438,9 +451,11 @@ function setTab(t){ texts[tab] = $('editor').value; tab = t;
   $('tab-design').classList.toggle('active', t==='design');
   $('tab-library').classList.toggle('active', t==='library');
   $('editor').value = texts[t]; }
+const TOKEN = '__TOKEN__';
 async function api(path, body){
   const r = await fetch(path, body===undefined?{}:{method:'POST',
-    headers:{'Content-Type':'application/json'}, body:JSON.stringify(body)});
+    headers:{'Content-Type':'application/json', 'X-Studio-Token':TOKEN},
+    body:JSON.stringify(body)});
   return r.json(); }
 async function refreshList(){
   const d = await api('/api/designs');
@@ -533,17 +548,57 @@ class StudioHandler(BaseHTTPRequestHandler):
             return {}
         return json.loads(self.rfile.read(n).decode())
 
+    class _Reject(Exception):
+        def __init__(self, code: int, message: str):
+            self.code, self.message = code, message
+
+    def _check_post(self) -> None:
+        """Drive-by/CSRF defenses for state-changing requests: a cross-origin
+        'simple' POST (e.g. text/plain from any web page) must never reach an
+        endpoint that execs code or writes files.  Three independent gates:
+        JSON content type (simple requests can't send it... they can — so it
+        is not sufficient alone), an Origin/Host match, and a per-session
+        random token that only the served page knows (custom headers force a
+        CORS preflight, which this server never grants)."""
+        ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+        if self.headers.get("Content-Length") and ctype != "application/json":
+            raise self._Reject(415, "Content-Type must be application/json")
+        origin = self.headers.get("Origin")
+        host = self.headers.get("Host")
+        if origin is not None:
+            from urllib.parse import urlparse
+
+            if urlparse(origin).netloc != host:
+                raise self._Reject(403, "cross-origin request rejected")
+        token = self.headers.get("X-Studio-Token")
+        if token != self.session.token:
+            raise self._Reject(403, "missing or invalid X-Studio-Token")
+
     def do_GET(self):
         try:
             self._route(self.path.split("?")[0], {}, "GET")
+        except self._Reject as r:
+            self._json({"error": r.message}, r.code)
         except Exception:
             self._json({"error": traceback.format_exc()}, 500)
 
     def do_POST(self):
         try:
+            self._check_post()
             self._route(self.path.split("?")[0], self._body(), "POST")
+        except self._Reject as r:
+            self._json({"error": r.message}, r.code)
+        except json.JSONDecodeError:
+            self._json({"error": "request body is not valid JSON"}, 400)
         except Exception:
             self._json({"error": traceback.format_exc()}, 500)
+
+    @staticmethod
+    def _require(body: dict, key: str):
+        try:
+            return body[key]
+        except KeyError:
+            raise StudioHandler._Reject(400, f"missing required field {key!r}")
 
     def _query(self) -> dict:
         from urllib.parse import parse_qs, urlparse
@@ -555,7 +610,11 @@ class StudioHandler(BaseHTTPRequestHandler):
         s = self.session
         ws = s.workspace
         if path == "/":
-            self._send(200, _page("designcsg_tpu studio").encode(), "text/html")
+            self._send(
+                200,
+                _page("designcsg_tpu studio", s.token).encode(),
+                "text/html",
+            )
         elif path == "/api/designs":
             self._json({"designs": ws.list_designs(), "last": ws.get_last()})
         elif path == "/api/design":
@@ -564,16 +623,16 @@ class StudioHandler(BaseHTTPRequestHandler):
                 name = LIBRARY_BASENAME
             self._json({"text": ws.read(name)})
         elif path == "/api/new":
-            ws.new(body["name"])
+            ws.new(self._require(body, "name"))
             self._json({"ok": True})
         elif path == "/api/save":
-            name = body["name"]
+            name = self._require(body, "name")
             if name == "designlibrary":
                 name = LIBRARY_BASENAME
-            ws.write(name, body["text"])
+            ws.write(name, self._require(body, "text"))
             self._json({"ok": True})
         elif path == "/api/delete":
-            ws.delete(body["name"])
+            ws.delete(self._require(body, "name"))
             self._json({"ok": True})
         elif path == "/api/run":
             if body.get("name"):

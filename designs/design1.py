@@ -42,6 +42,26 @@ def _box_kernel(a, b, c, ctx):
     )
 
 
+# Interval twins (exact per-tile cull, ops/pallas/cull.py): same formulas
+# over scalar intervals.
+from designcsg_tpu.ops.pallas import cull as _cull
+
+
+@_cull.register_interval_brush(_sphere_fn)
+def _sphere_iv(ia, ib, ic, ctx):
+    return _cull.iv_sub(_cull.iv_norm3(ia, ib, ic), _cull.iv_const(0.5))
+
+
+@_cull.register_interval_brush(_box_fn)
+def _box_iv(ia, ib, ic, ctx):
+    return _cull.iv_sub(
+        _cull.iv_max(
+            _cull.iv_abs(ia), _cull.iv_max(_cull.iv_abs(ib), _cull.iv_abs(ic))
+        ),
+        _cull.iv_const(0.5),
+    )
+
+
 def build(compiler=None):
     c = api.new_design() if compiler is None else compiler
     PI = np.pi

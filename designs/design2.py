@@ -210,6 +210,42 @@ def _base_kernel(x, y, z, ctx):
     return jnp.maximum(d, jnp.abs(y) - height)
 
 
+# Interval twins for the exact per-tile cull (ops/pallas/cull.py).
+# Hilbert (the expensive brush, ~60 box evals): generic Lipschitz+far-field
+# bounds — internal 3x quadrant scaling -> L=3; solid ⊆ ||.||∞ <= ~1.2 about
+# the anchored strut center, so far blocks prune it entirely.
+from designcsg_tpu.ops.pallas import cull as _cull
+
+_cull.register_lipschitz_interval(
+    _hilbert_brush_fn, anchor=(-0.5, -0.5, 0.0), lipschitz=3.0,
+    enclosure_radius=1.3,
+)
+
+
+# Base: hand-written exact interval arithmetic (a loose Lipschitz upper
+# bound here would grow faster than Hilbert's far-field lower bound and
+# block all pruning).
+@_cull.register_interval_brush(_base_brush_fn)
+def _base_iv(ia, ib, ic, ctx):
+    import jax.numpy as _jnp
+
+    outer, inner, height = 0.5, 0.45, 0.05
+    r = _cull.iv_sqrt(_cull.iv_add(_cull.iv_square(ia), _cull.iv_square(ic)))
+    # new_radius = inner + (outer-inner)*(1 - y/height): affine, decreasing
+    # in y, so its interval swaps y's endpoints.
+    k = (outer - inner) / height
+    nr = (inner + (outer - inner) - k * ib[1], inner + (outer - inner) - k * ib[0])
+    d_pos = _cull.iv_sub(r, nr)  # y > 0 branch
+    d_neg = _cull.iv_sub(r, _cull.iv_const(outer))  # y <= 0 branch
+    # Union of branch intervals wherever y's sign is ambiguous.
+    both = (_jnp.minimum(d_pos[0], d_neg[0]), _jnp.maximum(d_pos[1], d_neg[1]))
+    d = (
+        _jnp.where(ib[0] > 0, d_pos[0], _jnp.where(ib[1] <= 0, d_neg[0], both[0])),
+        _jnp.where(ib[0] > 0, d_pos[1], _jnp.where(ib[1] <= 0, d_neg[1], both[1])),
+    )
+    return _cull.iv_max(d, _cull.iv_sub(_cull.iv_abs(ib), _cull.iv_const(height)))
+
+
 def build(compiler=None):
     c = api.new_design() if compiler is None else compiler
 

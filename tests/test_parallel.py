@@ -245,3 +245,25 @@ def test_2d_mesh_corner_provider_matches_direct(design1):
         sdf(jnp.asarray(pts.reshape(-1, 3)), design1.arrays)
     ).reshape(r1, r1, r1)
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_sharded_pallas_point_eval_matches(design1):
+    """The Pallas point kernel composes with shard_map (round-2 verdict #7):
+    a sharded Pallas BatchEvaluator (interpret mode on the 8-device CPU
+    mesh) matches the unsharded jnp evaluator."""
+    ev_ref = BatchEvaluator(design1, use_pallas=False)
+    ev_sh = BatchEvaluator(
+        design1, sharded=True, use_pallas=True, pallas_interpret=True
+    )
+    assert ev_sh.use_pallas
+    pts = np.random.default_rng(7).uniform(-6, 6, size=(501, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        ev_sh.eval_sdf_at_points(pts),
+        ev_ref.eval_sdf_at_points(pts),
+        atol=2e-6,
+    )
+    np.testing.assert_allclose(
+        ev_sh.eval_normal_at_points(pts[:40]),
+        ev_ref.eval_normal_at_points(pts[:40]),
+        atol=2e-4,
+    )

@@ -38,12 +38,17 @@ api.commit()
 class Client:
     def __init__(self, server):
         host, port = server.server_address
+        token = server.session.token
 
-        def call(method, path, body=None):
+        def call(method, path, body=None, headers=None):
             conn = http.client.HTTPConnection(host, port, timeout=120)
             payload = json.dumps(body).encode() if body is not None else None
-            conn.request(method, path, body=payload,
-                         headers={"Content-Type": "application/json"})
+            if headers is None:
+                headers = {
+                    "Content-Type": "application/json",
+                    "X-Studio-Token": token,
+                }
+            conn.request(method, path, body=payload, headers=headers)
             resp = conn.getresponse()
             data = resp.read()
             conn.close()
@@ -222,3 +227,44 @@ def test_studio_run_nothing(server):
     c = Client(server)
     _, r = c.json("POST", "/api/run", {})
     assert r["ok"] is False and "error" in r
+
+
+def test_studio_csrf_defenses(server):
+    """State-changing endpoints reject cross-origin 'simple' POSTs: wrong
+    content type, missing/invalid token, and mismatched Origin all fail
+    cleanly without reaching the exec/filesystem paths."""
+    c = Client(server)
+    # No token (a cross-origin text/plain "simple" request).
+    status, _, data = c.call(
+        "POST", "/api/run", {"text": "open('/tmp/pwned','w')"},
+        headers={"Content-Type": "text/plain"},
+    )
+    assert status in (403, 415)
+    # JSON content type but no token.
+    status, _, data = c.call(
+        "POST", "/api/run", {"text": "pass"},
+        headers={"Content-Type": "application/json"},
+    )
+    assert status == 403
+    # Valid token but evil Origin.
+    status, _, data = c.call(
+        "POST", "/api/new", {"name": "x"},
+        headers={
+            "Content-Type": "application/json",
+            "X-Studio-Token": server.session.token,
+            "Origin": "http://evil.example",
+        },
+    )
+    assert status == 403
+    # The served page embeds the token (same-origin JS can act).
+    status, ctype, page = c.get("/")
+    assert status == 200 and server.session.token in page.decode()
+
+
+def test_studio_bad_request_is_400(server):
+    """Missing required JSON fields give a clean 4xx, not a traceback 500."""
+    c = Client(server)
+    status, r = c.json("POST", "/api/new", {})
+    assert status == 400 and "name" in r["error"]
+    status, r = c.json("POST", "/api/save", {"name": "x"})
+    assert status == 400 and "text" in r["error"]
