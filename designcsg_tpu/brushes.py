@@ -47,6 +47,10 @@ class EvalContext:
     rgt: Any = None  # camera frame (materials only), f32[3]
     upp: Any = None
     fwd: Any = None
+    #: Kernel-side prelude arrays (dict name -> VMEM ref/array): per-scene
+    #: data a brush's kernel twin precomputes from the scene arrays outside
+    #: the kernel (ops/pallas/brushes_kernel.py: __kernel_prelude__).
+    extras: Any = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -57,19 +57,23 @@ class RenderConfig:
     # coarse pass at 1/hierarchical_factor resolution marches each pixel
     # block's center ray with a cone-inflated hit epsilon
     # (eps + t * cone_half_angle) * cone_safety and records the last safe
-    # parameter; fine rays start there, skipping the open-space march
-    # entirely.  Hits are preserved (the inflated epsilon guarantees the
-    # skipped segment is at least one epsilon clear of every surface for
-    # every ray in the block); hit distances agree to ~sdf_epsilon, so
-    # images match to sub-pixel shading differences at silhouettes — same
-    # contract as march_overrelax, composable with it.
+    # parameter; fine rays start there, skipping the open-space march.
+    # SAFETY CONTRACT (honest version): the Lipschitz argument covers the
+    # prepass's *visited* points for unit-Lipschitz SDFs only — the SDF can
+    # dip between samples, rays are unnormalized (|ray| can exceed 1), and
+    # a coarse miss skips the final unverified segment, so thin/far features
+    # CAN drop relative to the plain march.  cone_safety=1.2 is an
+    # *empirically validated heuristic*, not a proof: on the example designs
+    # the measured handoff clearance is ~13x sdf_epsilon and hit-mask
+    # disagreement vs the exact march is <0.2% (tests/test_pallas.py), and
+    # user brushes that are not 1-Lipschitz weaken the argument further
+    # (check_scene_lipschitz in ops/raymarch.py estimates this per scene).
+    # Off by default; opt in for interactive speed, use the exact march for
+    # final/export-grade renders.
     march_hierarchical: bool = False
     hierarchical_factor: int = 5
-    # Safety multiplier on the cone slope.  The Lipschitz bound needs 1.0;
-    # the margin covers SDF dips between the prepass's visited points (the
-    # handoff is also one full step behind the stopping point).  Measured
-    # handoff clearance at 1.2 is ~13x sdf_epsilon on the example designs
-    # (tests/test_pallas.py asserts clearance at the configured value).
+    # Safety multiplier on the cone slope (see march_hierarchical's safety
+    # contract above — a heuristic margin, not a bound).
     cone_safety: float = 1.2
     # Per-tile exact object culling in the Pallas march (ops/pallas/cull.py):
     # scalar interval arithmetic over the tape proves which brush IMPORTs
@@ -83,10 +87,13 @@ class RenderConfig:
     # often the expensive one (cull.worth_culling).  Opt in for scenes with
     # many expensive, spatially-separated brushes.
     march_cull: Optional[bool] = None
-    # Micro-steps per march-loop iteration in the fused Pallas renderer
-    # (exact semantics; the tile-exit reduction amortizes over this many
-    # steps, a finished tile wastes at most unroll-1 masked evals).
-    march_unroll: int = 1
+    # Micro-steps per march-loop iteration in the fused Pallas kernels
+    # (exact semantics: masked no-op evals past a tile's finish, steps past
+    # max_steps gated off).  The while-loop's tile-exit reduction + carry
+    # traffic cost ~45% of the 1-step march on v5e; amortizing them over 8
+    # steps takes Design1's exact-k1 viewport from 40.5 to 74 Mrays/s
+    # (plateau ~76 at 16, bit-identical images).
+    march_unroll: int = 8
 
 
 # Mesh/grid extraction knobs live on compiler.ExportConfig (the reference's

@@ -243,6 +243,17 @@ def merge_meshes(meshes: Iterable[Mesh], weld_eps: float = 0.0) -> Mesh:
     return Mesh(vertices=verts, faces=faces[ok])
 
 
+def _lattice_keys(idx: np.ndarray) -> np.ndarray:
+    """Collision-free int64 key per lattice point (coords fit in 21 bits
+    after offsetting — lattices here are <= 2^12 per axis)."""
+    off = np.int64(1) << 20
+    return (
+        ((idx[..., 2] + off) << 42)
+        | ((idx[..., 1] + off) << 21)
+        | (idx[..., 0] + off)
+    )
+
+
 def retopologize(
     mesh: Mesh,
     grid_origin: np.ndarray,
@@ -257,56 +268,91 @@ def retopologize(
     lattice segment between its endpoints, inserting any lattice point
     occupied by another vertex of the mesh; the resulting n-gon is
     strip-triangulated.  Winding is preserved, so a watertight-up-to-cracks
-    input becomes edge-manifold."""
+    input becomes edge-manifold.
+
+    Vectorized for reference-scale meshes (the reference runs this per
+    triangle in C++, mesh.hpp:432-529): welding, degenerate-face removal,
+    per-edge interior-lattice-point discovery and occupancy lookups are all
+    batched numpy (sorted-key searchsorted instead of a hash map); only the
+    triangles that actually gain vertices — the level-transition seams, a
+    tiny fraction — take the per-triangle re-triangulation path."""
     lo = np.asarray(grid_origin, dtype=np.float64)
     v = mesh.vertices.astype(np.float64)
     idx = np.round((v - lo[None, :]) / cell).astype(np.int64)
 
     # Occupied lattice -> representative vertex id (first occurrence wins —
     # coincident vertices are welded, as in merge_meshes).
-    occupied: dict = {}
-    canon = np.empty(mesh.num_vertices, dtype=np.int64)
-    for i in range(mesh.num_vertices):
-        k = (idx[i, 0], idx[i, 1], idx[i, 2])
-        if k not in occupied:
-            occupied[k] = i
-        canon[i] = occupied[k]
+    keys = _lattice_keys(idx)
+    ukeys, first, inverse = np.unique(
+        keys, return_index=True, return_inverse=True
+    )
+    canon = first[inverse]
 
-    new_faces: List[Tuple[int, int, int]] = []
-    for tri in mesh.faces:
-        a, b, c = (int(canon[t]) for t in tri)
-        if a == b or b == c or a == c:
-            continue
+    faces = canon[mesh.faces]
+    ok = (
+        (faces[:, 0] != faces[:, 1])
+        & (faces[:, 1] != faces[:, 2])
+        & (faces[:, 0] != faces[:, 2])
+    )
+    faces = faces[ok]
+
+    # Per-edge interior lattice points exist only when gcd(|delta|) >= 2.
+    ea = faces  # [T, 3] edge starts (a->b, b->c, c->a)
+    eb = faces[:, [1, 2, 0]]
+    delta = idx[eb] - idx[ea]  # [T, 3, 3]
+    g = np.gcd.reduce(np.abs(delta), axis=-1)  # [T, 3]
+    cand = g >= 2
+    touched = np.zeros(faces.shape[0], dtype=bool)
+    hits_per_edge: dict = {}
+    if cand.any():
+        ti, ei = np.nonzero(cand)
+        gs = g[ti, ei]  # [E]
+        starts = idx[ea[ti, ei]]  # [E, 3]
+        steps = delta[ti, ei] // gs[:, None]
+        # Ragged expansion: edge e contributes gs[e]-1 interior points.
+        counts = gs - 1
+        total = int(counts.sum())
+        owner = np.repeat(np.arange(ti.size), counts)
+        k_in_edge = np.arange(total) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        ) + 1
+        pts = starts[owner] + steps[owner] * k_in_edge[:, None]
+        pkeys = _lattice_keys(pts)
+        pos = np.searchsorted(ukeys, pkeys)
+        pos_c = np.minimum(pos, ukeys.size - 1)
+        found = ukeys[pos_c] == pkeys
+        hit_vid = first[pos_c]
+        p_vid = ea[ti, ei][owner]
+        q_vid = eb[ti, ei][owner]
+        use = found & (hit_vid != p_vid) & (hit_vid != q_vid)
+        if use.any():
+            for j in np.nonzero(use)[0]:
+                e = int(owner[j])
+                hits_per_edge.setdefault(
+                    (int(ti[e]), int(ei[e])), []
+                ).append(int(hit_vid[j]))
+            touched[np.unique(ti[owner[use]])] = True
+
+    new_faces_arrays = [faces[~touched]]
+    extra: List[Tuple[int, int, int]] = []
+    for t in np.nonzero(touched)[0]:
+        a, b, c = (int(x) for x in faces[t])
         ngon: List[int] = []
-        for p, q in ((a, b), (b, c), (c, a)):
+        for ei_, p in enumerate((a, b, c)):
             ngon.append(p)
-            dp, dq = idx[p], idx[q]
-            delta = dq - dp
-            n = int(np.max(np.abs(delta)))
-            if n <= 1:
-                continue
-            g = np.gcd.reduce(np.abs(delta))
-            if g <= 1:
-                continue  # no interior lattice points on this segment
-            step = delta // g
-            for k in range(1, g):
-                pt = dp + step * k
-                key = (int(pt[0]), int(pt[1]), int(pt[2]))
-                hit = occupied.get(key)
-                if hit is not None and hit != p and hit != q:
-                    ngon.append(int(hit))
-        # Deduplicate consecutive repeats introduced by welding.
+            ngon.extend(hits_per_edge.get((int(t), ei_), ()))
         dedup = [x for i, x in enumerate(ngon) if x != ngon[i - 1]]
-        if len(dedup) < 3:
-            continue
-        new_faces.extend(strip_triangulate(dedup))
+        if len(dedup) >= 3:
+            extra.extend(strip_triangulate(dedup))
+    if extra:
+        new_faces_arrays.append(np.asarray(extra, dtype=np.int64))
+    faces = np.concatenate(new_faces_arrays) if new_faces_arrays else faces
 
-    faces = np.asarray(new_faces, dtype=np.int64).reshape(-1, 3)
     # Compact unused vertices.
     used = np.unique(faces) if faces.size else np.zeros(0, np.int64)
     remap = np.full(mesh.num_vertices, -1, dtype=np.int64)
     remap[used] = np.arange(used.size)
     return Mesh(
         vertices=mesh.vertices[used].astype(np.float32),
-        faces=remap[faces] if faces.size else faces,
+        faces=remap[faces] if faces.size else faces.reshape(-1, 3),
     )

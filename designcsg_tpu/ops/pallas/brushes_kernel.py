@@ -45,26 +45,55 @@ def register_kernel_material(original_fn: Callable):
     return deco
 
 
+def _twin_of(fn: Callable) -> Optional[Callable]:
+    """Twin lookup: the registry, then a ``__kernel_twin__`` attribute (the
+    path for closure-built brushes like the Logo letters, which cannot be
+    registered by function identity at import time)."""
+    twin = KERNEL_BRUSHES.get(fn)
+    return twin if twin is not None else getattr(fn, "__kernel_twin__", None)
+
+
 def supports_scene(scene: CompiledScene) -> bool:
     """True if every brush/material the scene's tape and banks reference has
     a kernel twin."""
-    return all(fn in KERNEL_BRUSHES for fn in scene.brush_fns) and all(
+    return all(_twin_of(fn) is not None for fn in scene.brush_fns) and all(
         fn in KERNEL_MATERIALS for fn in scene.material_fns
     )
 
 
 def kernel_brushes_for_scene(scene: CompiledScene) -> Tuple[Callable, ...]:
+    twins = [_twin_of(fn) for fn in scene.brush_fns]
     missing = [
         getattr(fn, "__name__", str(fn))
-        for fn in scene.brush_fns
-        if fn not in KERNEL_BRUSHES
+        for fn, twin in zip(scene.brush_fns, twins)
+        if twin is None
     ]
     if missing:
         raise KeyError(
             f"no kernel twin for brushes {missing}; register with "
             f"register_kernel_brush or use the jnp path"
         )
-    return tuple(KERNEL_BRUSHES[fn] for fn in scene.brush_fns)
+    return tuple(twins)
+
+
+def scene_preludes(scene: CompiledScene):
+    """Ordered ``[(name, prelude_fn)]`` across the scene's brushes.
+
+    A brush's kernel twin may need per-scene arrays computed OUTSIDE the
+    kernel (e.g. the Logo letters' Bezier sample table, derived from the
+    differentiable arbitrary-data blob): the brush function carries
+    ``__kernel_prelude__ = {name: fn(arrays) -> jnp.ndarray}``; each array
+    is passed to the kernels as an extra VMEM input and surfaces to the
+    twin as ``ctx.extras[name]``.  Names must be unique per scene."""
+    out = []
+    seen = set()
+    for fn in scene.brush_fns:
+        for name, pf in getattr(fn, "__kernel_prelude__", {}).items():
+            if name in seen:
+                continue
+            seen.add(name)
+            out.append((name, pf))
+    return out
 
 
 def kernel_materials_for_scene(scene: CompiledScene) -> Tuple[Callable, ...]:

@@ -32,7 +32,7 @@ from ...config import RenderConfig
 from ...constants import AXES_SHADE_RADIUS, INITIAL_SCALE, MAX_DISTANCE
 from .brushes_kernel import kernel_brushes_for_scene, kernel_materials_for_scene
 from .cull import make_tape_culler, ray_box
-from .sdf_kernel import _bank_inputs, _bank_specs
+from .sdf_kernel import _bank_inputs, _bank_specs, _split_bank_refs
 from .tape import make_component_tape, smem_bank_reader
 
 _BIG = 3.0e38
@@ -79,16 +79,17 @@ def make_pallas_ray_march(
     tol = config.march_tolerance
     max_d = config.max_distance
     max_steps = config.max_steps
+    unroll = max(1, int(getattr(config, "march_unroll", 1)))
 
     SUB_R = 8  # rows per tile: 1024 rays per early-exit group
 
-    def kernel(
-        scal_ref, pos_ref, right_ref, up_ref, fwd_ref, ad_ref,
-        rx_ref, ry_ref, rz_ref,
-        d_out, vx_out, vy_out, vz_out,
-    ):
+    def kernel(scal_ref, *refs):
+        pos_ref, right_ref, up_ref, fwd_ref, ad_ref, extras, rest = (
+            _split_bank_refs(scene, refs)
+        )
+        rx_ref, ry_ref, rz_ref, d_out, vx_out, vy_out, vz_out = rest
         bank = smem_bank_reader(pos_ref, right_ref, up_ref, fwd_ref)
-        ctx = EvalContext(ad=ad_ref)
+        ctx = EvalContext(ad=ad_ref, extras=extras)
 
         def sdf(x, y, z):
             return tape_eval(x, y, z, bank, ctx)
@@ -121,24 +122,26 @@ def make_pallas_ray_march(
 
         def body(state):
             step, vx, vy, vz, d, hit, miss, smin, vmx, vmy, vmz = state
-            active = (1.0 - hit) * (1.0 - miss)
-            s = sdf(vx, vy, vz) * tol
-            closer = active * jnp.where(s < smin, 1.0, 0.0)
-            smin = jnp.where(closer > 0.5, s, smin)
-            vmx = jnp.where(closer > 0.5, vx, vmx)
-            vmy = jnp.where(closer > 0.5, vy, vmy)
-            vmz = jnp.where(closer > 0.5, vz, vmz)
-            new_hit = active * jnp.where(s < eps, 1.0, 0.0)
-            advance = active * (1.0 - new_hit)
-            vx = vx + advance * s * rx
-            vy = vy + advance * s * ry
-            vz = vz + advance * s * rz
-            d = d + advance * s
-            new_miss = advance * jnp.where(d > max_d, 1.0, 0.0)
+            for i in range(unroll):
+                within = jnp.where(step + i < max_steps, 1.0, 0.0)
+                active = (1.0 - hit) * (1.0 - miss) * within
+                s = sdf(vx, vy, vz) * tol
+                closer = active * jnp.where(s < smin, 1.0, 0.0)
+                smin = jnp.where(closer > 0.5, s, smin)
+                vmx = jnp.where(closer > 0.5, vx, vmx)
+                vmy = jnp.where(closer > 0.5, vy, vmy)
+                vmz = jnp.where(closer > 0.5, vz, vmz)
+                new_hit = active * jnp.where(s < eps, 1.0, 0.0)
+                advance = active * (1.0 - new_hit)
+                vx = vx + advance * s * rx
+                vy = vy + advance * s * ry
+                vz = vz + advance * s * rz
+                d = d + advance * s
+                new_miss = advance * jnp.where(d > max_d, 1.0, 0.0)
+                hit = jnp.maximum(hit, new_hit)
+                miss = jnp.maximum(miss, new_miss)
             return (
-                step + 1, vx, vy, vz, d,
-                jnp.maximum(hit, new_hit), jnp.maximum(miss, new_miss),
-                smin, vmx, vmy, vmz,
+                step + unroll, vx, vy, vz, d, hit, miss, smin, vmx, vmy, vmz
             )
 
         state = (
@@ -179,14 +182,14 @@ def make_pallas_ray_march(
             kernel,
             grid=(rows // SUB_R,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + _bank_specs()
+            + _bank_specs(scene)
             + [plane, plane, plane],
             out_specs=(plane, plane, plane, plane),
             out_shape=(out_s, out_s, out_s, out_s),
             interpret=interpret,
         )(
             scalars,
-            *_bank_inputs(arrays),
+            *_bank_inputs(arrays, scene),
             flat[:, 0].reshape(rows, TILE_W),
             flat[:, 1].reshape(rows, TILE_W),
             flat[:, 2].reshape(rows, TILE_W),
@@ -226,15 +229,17 @@ def make_pallas_cone_march(
     max_d = config.max_distance
     max_steps = config.max_steps
     slope = float(cone_slope)
+    unroll = max(1, int(getattr(config, "march_unroll", 1)))
 
     SUB_R = 8
 
-    def kernel(
-        scal_ref, pos_ref, right_ref, up_ref, fwd_ref, ad_ref,
-        rx_ref, ry_ref, rz_ref, t_out,
-    ):
+    def kernel(scal_ref, *refs):
+        pos_ref, right_ref, up_ref, fwd_ref, ad_ref, extras, rest = (
+            _split_bank_refs(scene, refs)
+        )
+        rx_ref, ry_ref, rz_ref, t_out = rest
         bank = smem_bank_reader(pos_ref, right_ref, up_ref, fwd_ref)
-        ctx = EvalContext(ad=ad_ref)
+        ctx = EvalContext(ad=ad_ref, extras=extras)
 
         def sdf(x, y, z):
             return tape_eval(x, y, z, bank, ctx)
@@ -261,25 +266,25 @@ def make_pallas_cone_march(
 
         def body(state):
             step, vx, vy, vz, d, done, tprev = state
-            active = 1.0 - done
-            s = sdf(vx, vy, vz) * tol
-            stop = active * jnp.where(s < eps + d * slope, 1.0, 0.0)
-            advance = active * (1.0 - stop)
-            # The point at d is only provisionally safe: commit it to tprev
-            # just before stepping PAST it, so on stop tprev is the previous
-            # visited point.
-            tprev = jnp.where(advance > 0.5, d, tprev)
-            vx = vx + advance * s * rx
-            vy = vy + advance * s * ry
-            vz = vz + advance * s * rz
-            d = d + advance * s
-            # A miss (left the scene) makes the whole remaining ray safe.
-            miss = advance * jnp.where(d > max_d, 1.0, 0.0)
-            tprev = jnp.where(miss > 0.5, d, tprev)
-            return (
-                step + 1, vx, vy, vz, d,
-                jnp.minimum(done + stop + miss, 1.0), tprev,
-            )
+            for i in range(unroll):
+                within = jnp.where(step + i < max_steps, 1.0, 0.0)
+                active = (1.0 - done) * within
+                s = sdf(vx, vy, vz) * tol
+                stop = active * jnp.where(s < eps + d * slope, 1.0, 0.0)
+                advance = active * (1.0 - stop)
+                # The point at d is only provisionally safe: commit it to
+                # tprev just before stepping PAST it, so on stop tprev is
+                # the previous visited point.
+                tprev = jnp.where(advance > 0.5, d, tprev)
+                vx = vx + advance * s * rx
+                vy = vy + advance * s * ry
+                vz = vz + advance * s * rz
+                d = d + advance * s
+                # A miss (left the scene) makes the whole remaining ray safe.
+                miss = advance * jnp.where(d > max_d, 1.0, 0.0)
+                tprev = jnp.where(miss > 0.5, d, tprev)
+                done = jnp.minimum(done + stop + miss, 1.0)
+            return (step + unroll, vx, vy, vz, d, done, tprev)
 
         state = (jnp.int32(0), vx0, vy0, vz0, d0, done0, tprev0)
         state = jax.lax.while_loop(cond, body, state)
@@ -311,14 +316,14 @@ def make_pallas_cone_march(
             kernel,
             grid=(rows // SUB_R,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + _bank_specs()
+            + _bank_specs(scene)
             + [plane, plane, plane],
             out_specs=plane,
             out_shape=jax.ShapeDtypeStruct((rows, TILE_W), jnp.float32),
             interpret=interpret,
         )(
             scalars,
-            *_bank_inputs(arrays),
+            *_bank_inputs(arrays, scene),
             flat[:, 0].reshape(rows, TILE_W),
             flat[:, 1].reshape(rows, TILE_W),
             flat[:, 2].reshape(rows, TILE_W),
@@ -385,16 +390,19 @@ def make_pallas_renderer(
     miss_color = config.miss_color
     background = config.background
 
-    def kernel(cam_ref, pos_ref, right_ref, up_ref, fwd_ref, ad_ref, *refs):
+    def kernel(cam_ref, *refs):
+        pos_ref, right_ref, up_ref, fwd_ref, ad_ref, extras, rest = (
+            _split_bank_refs(scene, refs)
+        )
         if t0_input:
-            t0_ref, r_out, g_out, b_out = refs
+            t0_ref, r_out, g_out, b_out = rest
         else:
-            r_out, g_out, b_out = refs
+            r_out, g_out, b_out = rest
         bank = smem_bank_reader(pos_ref, right_ref, up_ref, fwd_ref)
         rgt = (cam_ref[1, 0], cam_ref[1, 1], cam_ref[1, 2])
         upp = (cam_ref[2, 0], cam_ref[2, 1], cam_ref[2, 2])
         fwd = (cam_ref[3, 0], cam_ref[3, 1], cam_ref[3, 2])
-        ctx = EvalContext(ad=ad_ref, rgt=rgt, upp=upp, fwd=fwd)
+        ctx = EvalContext(ad=ad_ref, rgt=rgt, upp=upp, fwd=fwd, extras=extras)
 
         def sdf(x, y, z, cull=None):
             return tape_eval(x, y, z, bank, ctx, cull)
@@ -504,40 +512,41 @@ def make_pallas_renderer(
             step_len0 = zero
             omg0 = zero + omega
 
+            K = unroll
+
             def cond(state):
                 step, _, _, _, _, hit, miss, _, _, _ = state
                 return jnp.logical_and(step < max_steps, jnp.min(hit + miss) < 0.5)
 
             def body(state):
                 step, vx, vy, vz, d, hit, miss, prev_r, step_len, omg = state
-                active = (1.0 - hit) * (1.0 - miss)
-                s = sdf(vx, vy, vz, cone_cull) * tol
-                sor_ok = jnp.where(jnp.abs(s) + prev_r < step_len, 0.0, 1.0)
-                sor_ok = jnp.where(omg > 1.0, sor_ok, 1.0)
-                new_hit = active * sor_ok * jnp.where(s < eps, 1.0, 0.0)
-                step_len = jnp.where(
-                    sor_ok > 0.5, omg * s, step_len * (1.0 - omg)
-                )
-                omg = jnp.where(sor_ok > 0.5, omg, 1.0)
-                advance = active * (1.0 - new_hit)
-                vx = vx + advance * step_len * rx
-                vy = vy + advance * step_len * ry
-                vz = vz + advance * step_len * rz
-                d = d + advance * step_len
-                prev_r = jnp.where(active > 0.5, jnp.abs(s), prev_r)
-                new_miss = advance * jnp.where(d > max_d, 1.0, 0.0)
-                return (
-                    step + 1,
-                    vx,
-                    vy,
-                    vz,
-                    d,
-                    jnp.maximum(hit, new_hit),
-                    jnp.maximum(miss, new_miss),
-                    prev_r,
-                    step_len,
-                    omg,
-                )
+                for i in range(K):
+                    within = jnp.where(step + i < max_steps, 1.0, 0.0)
+                    active = (1.0 - hit) * (1.0 - miss) * within
+                    s = sdf(vx, vy, vz, cone_cull) * tol
+                    sor_ok = jnp.where(jnp.abs(s) + prev_r < step_len, 0.0, 1.0)
+                    sor_ok = jnp.where(omg > 1.0, sor_ok, 1.0)
+                    new_hit = active * sor_ok * jnp.where(s < eps, 1.0, 0.0)
+                    step_len = jnp.where(
+                        active > 0.5,
+                        jnp.where(sor_ok > 0.5, omg * s, step_len * (1.0 - omg)),
+                        step_len,
+                    )
+                    omg = jnp.where(
+                        active > 0.5,
+                        jnp.where(sor_ok > 0.5, omg, 1.0),
+                        omg,
+                    )
+                    advance = active * (1.0 - new_hit)
+                    vx = vx + advance * step_len * rx
+                    vy = vy + advance * step_len * ry
+                    vz = vz + advance * step_len * rz
+                    d = d + advance * step_len
+                    prev_r = jnp.where(active > 0.5, jnp.abs(s), prev_r)
+                    new_miss = advance * jnp.where(d > max_d, 1.0, 0.0)
+                    hit = jnp.maximum(hit, new_hit)
+                    miss = jnp.maximum(miss, new_miss)
+                return (step + K, vx, vy, vz, d, hit, miss, prev_r, step_len, omg)
 
             _, vx, vy, vz, d, hit_f, miss_f, _, _, _ = jax.lax.while_loop(
                 cond,
@@ -682,12 +691,12 @@ def make_pallas_renderer(
             kernel,
             grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + _bank_specs()
+            + _bank_specs(scene)
             + extra_specs,
             out_specs=(tile, tile, tile),
             out_shape=(out_shape, out_shape, out_shape),
             interpret=interpret,
-        )(cam, *_bank_inputs(arrays), *extra_inputs)
+        )(cam, *_bank_inputs(arrays, scene), *extra_inputs)
         if block_layout:
             hb, wb = grid
 
@@ -722,6 +731,9 @@ def make_hierarchical_renderer(
     epsilon-clear for the whole block."""
     if config is None:
         config = RenderConfig()
+    from ..raymarch import warn_if_not_lipschitz
+
+    warn_if_not_lipschitz(scene, "hierarchical cone prepass")
     F = config.hierarchical_factor
     assert F % 2 == 1, "hierarchical_factor must be odd (center ray exists)"
     assert config.width % F == 0 and config.height % F == 0, (

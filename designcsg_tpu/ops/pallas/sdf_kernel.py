@@ -32,25 +32,45 @@ SUB = 256  # sublane tile (rows)
 LANE = 128  # lane tile (cols)
 
 
-def _bank_specs():
+def _bank_specs(scene: Optional[CompiledScene] = None):
+    from .brushes_kernel import scene_preludes
+
+    n_extras = len(scene_preludes(scene)) if scene is not None else 0
     return [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # position
         pl.BlockSpec(memory_space=pltpu.SMEM),  # right
         pl.BlockSpec(memory_space=pltpu.SMEM),  # up
         pl.BlockSpec(memory_space=pltpu.SMEM),  # forward
         pl.BlockSpec(memory_space=pltpu.VMEM),  # ad (reshaped 2D)
-    ]
+    ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_extras  # twin preludes
 
 
-def _bank_inputs(arrays: SceneArrays):
+def _bank_inputs(arrays: SceneArrays, scene: Optional[CompiledScene] = None):
+    from .brushes_kernel import scene_preludes
+
     ad = jnp.asarray(arrays.ad).reshape(-1, LANE)
+    extras = (
+        tuple(pf(arrays) for _, pf in scene_preludes(scene))
+        if scene is not None
+        else ()
+    )
     return (
         jnp.asarray(arrays.position),
         jnp.asarray(arrays.right),
         jnp.asarray(arrays.up),
         jnp.asarray(arrays.forward),
         ad,
-    )
+    ) + extras
+
+
+def _split_bank_refs(scene: Optional[CompiledScene], refs):
+    """(pos, right, up, fwd, ad, extras_dict, remaining_refs)."""
+    from .brushes_kernel import scene_preludes
+
+    names = [n for n, _ in scene_preludes(scene)] if scene is not None else []
+    pos_ref, right_ref, up_ref, fwd_ref, ad_ref = refs[:5]
+    extras = dict(zip(names, refs[5 : 5 + len(names)]))
+    return pos_ref, right_ref, up_ref, fwd_ref, ad_ref, extras, refs[5 + len(names):]
 
 
 def make_pallas_point_eval(
@@ -63,9 +83,13 @@ def make_pallas_point_eval(
     tape_eval = make_component_tape(scene, gizmo=gizmo)
     tile_points = SUB * LANE
 
-    def kernel(pos_ref, right_ref, up_ref, fwd_ref, ad_ref, x_ref, y_ref, z_ref, out_ref):
+    def kernel(*refs):
+        pos_ref, right_ref, up_ref, fwd_ref, ad_ref, extras, rest = (
+            _split_bank_refs(scene, refs)
+        )
+        x_ref, y_ref, z_ref, out_ref = rest
         bank = smem_bank_reader(pos_ref, right_ref, up_ref, fwd_ref)
-        ctx = EvalContext(ad=ad_ref)
+        ctx = EvalContext(ad=ad_ref, extras=extras)
         out_ref[:] = tape_eval(x_ref[:], y_ref[:], z_ref[:], bank, ctx)
 
     @jax.jit
@@ -87,11 +111,11 @@ def make_pallas_point_eval(
         out = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=_bank_specs() + [plane, plane, plane],
+            in_specs=_bank_specs(scene) + [plane, plane, plane],
             out_specs=plane,
             out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
             interpret=interpret,
-        )(*_bank_inputs(arrays), x, y, z)
+        )(*_bank_inputs(arrays, scene), x, y, z)
         return out.reshape(total)[:n]
 
     return point_eval
@@ -129,7 +153,11 @@ def make_grid_eval(
     # with many expensive, spatially-separated brushes.
     culler = make_tape_culler(scene, gizmo=gizmo) if cull else None
 
-    def kernel(scalars_ref, pos_ref, right_ref, up_ref, fwd_ref, ad_ref, out_ref):
+    def kernel(scalars_ref, *refs):
+        pos_ref, right_ref, up_ref, fwd_ref, ad_ref, extras, rest = (
+            _split_bank_refs(scene, refs)
+        )
+        (out_ref,) = rest
         # scalars: [lox, loy, loz, cell, z0]
         lox = scalars_ref[0]
         loy = scalars_ref[1]
@@ -147,7 +175,7 @@ def make_grid_eval(
         y = loy + cell * yi.astype(jnp.float32)
         z = loz + cell * (z0 + zi.astype(jnp.float32))
         bank = smem_bank_reader(pos_ref, right_ref, up_ref, fwd_ref)
-        ctx = EvalContext(ad=ad_ref)
+        ctx = EvalContext(ad=ad_ref, extras=extras)
         if culler is not None:
             x0 = lox + cell * (k2 * LANE).astype(jnp.float32)
             y0 = loy + cell * (k1 * BY).astype(jnp.float32)
@@ -186,13 +214,13 @@ def make_grid_eval(
         out = pl.pallas_call(
             kernel,
             grid=(nz_pad // BZ, ny_pad // BY, nx_pad // LANE),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + _bank_specs(),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + _bank_specs(scene),
             out_specs=pl.BlockSpec(
                 (BZ, BY, LANE), lambda i, j, k: (i, j, k), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((nz_pad, ny_pad, nx_pad), jnp.float32),
             interpret=interpret,
-        )(scalars, *_bank_inputs(arrays))
+        )(scalars, *_bank_inputs(arrays, scene))
         return out[:slab, :ny, :nx]
 
     return grid_eval

@@ -385,3 +385,45 @@ def test_tape_culler_exact_on_boxes(design1):
         # renderer-level test above asserts bit-equality.
         np.testing.assert_allclose(culled, full, atol=1e-6, rtol=0)
     assert pruned_any, "no box pruned any group — cull never engages"
+
+
+def test_closure_brush_twin_with_prelude():
+    """A brush built as a closure (unregistrable by identity at import time)
+    rides the Pallas path via the __kernel_twin__ attribute, and its twin
+    receives precomputed per-scene arrays through __kernel_prelude__ /
+    ctx.extras — the mechanism Logo-class brushes use for tables derived
+    from the differentiable arbitrary-data blob."""
+    from designcsg_tpu import api
+
+    c = api.new_design()
+    start = c.add_arbitrary_data("RADII", [0.3, 0.5, 0.2, 0.9])
+
+    def wavy(v, ctx):
+        # radius = max of the AD radii (a stand-in for a derived table)
+        r = jnp.max(jax.lax.dynamic_slice(ctx.ad, (start,), (4,)))
+        return jnp.linalg.norm(v, axis=-1) - r
+
+    def wavy_twin(x, y, z, ctx):
+        r = ctx.extras["wavy_radius"][0, 0]
+        return jnp.sqrt(x * x + y * y + z * z) - r
+
+    def wavy_prelude(arrays):
+        r = jnp.max(jax.lax.dynamic_slice(jnp.asarray(arrays.ad), (start,), (4,)))
+        return jnp.full((1, 128), r, jnp.float32)
+
+    wavy.__kernel_twin__ = wavy_twin
+    wavy.__kernel_prelude__ = {"wavy_radius": wavy_prelude}
+
+    brush = c.define_brush(wavy, name="wavy")
+    api.draw(brush, api.Transform.identity(), compiler=c)
+    scene = c.commit()
+
+    assert supports_scene(scene)
+    arrays = as_device_arrays(scene.arrays)
+    pe = make_pallas_point_eval(scene, interpret=True)
+    pts = jnp.asarray(
+        np.random.default_rng(2).uniform(-3, 3, (300, 3)), jnp.float32
+    )
+    ours = np.asarray(pe(pts, arrays))
+    ref = np.asarray(make_primary_sdf(scene)(pts, arrays))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
