@@ -161,6 +161,31 @@ def main():
     except Exception as e:
         log("export bench failed:", e)
 
+    # Secondary: Design2 at its OWN reference export config — adaptive
+    # octree 6->8, grid 2^9, 50 refine steps (Designs/Design2.py:302-314;
+    # the reference runs this in <=30 min on 12 CPU threads).
+    try:
+        import tempfile
+
+        from designcsg_tpu.export.pipeline import export_mesh
+
+        sc2 = designs.get_design("design2")
+        with tempfile.TemporaryDirectory() as td:
+            t0 = time.time()
+            mesh, report = export_mesh(
+                sc2, stl_path=f"{td}/d2.stl", strategy="adaptive"
+            )
+            dt = time.time() - t0
+            log(
+                f"design2 adaptive export (own config, octree 6->8 grid 2^9):"
+                f" {dt:.1f} s, {report.num_triangles} tris, levels "
+                f"{report.stats.get('level_triangles')}, open loops "
+                f"{report.stats.get('open_loops', 0)}, "
+                f"{report.sdf_evals/1e6:.1f}M sdf evals"
+            )
+    except Exception as e:
+        log("design2 adaptive export bench failed:", e)
+
     # Secondary: dense 512^3 voxel SDF evaluation (the export engine).
     try:
         ge = make_grid_eval(scene)

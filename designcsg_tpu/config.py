@@ -72,6 +72,12 @@ class RenderConfig:
     # final/export-grade renders.
     march_hierarchical: bool = False
     hierarchical_factor: int = 5
+    # Strict cone handoff: on a coarse MISS, hand fine rays the last
+    # *verified* parameter instead of the far plane, so they march the
+    # prepass's final unverified segment themselves — closes the
+    # thin/far-feature drop the miss shortcut can cause, at the cost of
+    # background blocks marching their tails at fine resolution.
+    cone_strict: bool = False
     # Safety multiplier on the cone slope (see march_hierarchical's safety
     # contract above — a heuristic margin, not a bound).
     cone_safety: float = 1.2

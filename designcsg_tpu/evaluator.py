@@ -19,7 +19,8 @@ from .compiler import CompiledScene, SceneArrays
 from .ops.interpreter import make_normal_fn, make_primary_sdf
 
 # Reference chunk is 256^3 = 16.7M; a 2^20 chunk keeps per-call latency low
-# while saturating the VPU.
+# while saturating the VPU (measured on the axon relay: larger chunks lose
+# more to pow2 padding than they save in dispatch count).
 DEFAULT_CHUNK = 1 << 20
 
 

@@ -48,6 +48,7 @@ triangulation (export/retopo.py:stitch_boundary_loops).
 
 from __future__ import annotations
 
+import time
 from typing import Callable, Optional, Tuple
 
 import numpy as np
@@ -240,8 +241,10 @@ def extract_surface_adaptive(
     fine_cell = 2.0 * half_diameter / fine_res
 
     level_tris: dict = {}
+    level_seconds: dict = {}
     if stats is not None:
         stats["level_triangles"] = level_tris
+        stats["level_seconds"] = level_seconds
 
     n0 = 1 << min_l
     gz, gy, gx = np.meshgrid(
@@ -272,6 +275,8 @@ def extract_surface_adaptive(
         r1 = res + 1
         scale = 1 << (max_l - L)
         cellsize = 2.0 * half_diameter / res
+        lt = level_seconds[L] = {}
+        t0 = time.time()
 
         # 1. unique-corner evaluation (each lattice point once per level).
         corner_coords = cells[:, None, :] + CORNERS[None, :, :]  # [M, 8, 3]
@@ -287,6 +292,8 @@ def extract_surface_adaptive(
         ).astype(np.float32)
         uvals = evaluator.eval_sdf_at_points(upts)
         vals = uvals[inv].reshape(-1, 8)
+        lt["corners"] = round(time.time() - t0, 3)
+        t0 = time.time()
 
         # 2. classification.
         surface = (vals.min(axis=1) < 0.0) & (vals.max(axis=1) >= 0.0)
@@ -297,11 +304,21 @@ def extract_surface_adaptive(
             refine = np.zeros_like(surface)
         else:
             if surface.any():
-                unorms = evaluator.eval_normal_at_points(upts)
-                norms = unorms[inv].reshape(-1, 8, 3)
-                complex_cell = _edge_angles(norms) > threshold
+                # Normals (6 SDF evals each) only at corners of SURFACE
+                # cells — the complexity test reads nothing else, and
+                # surface cells are a small fraction of the near-cull wave.
+                scells = np.nonzero(surface)[0]
+                skeys = key[scells].reshape(-1)
+                sukeys, sinv = np.unique(skeys, return_inverse=True)
+                spos = np.searchsorted(ukeys, sukeys)
+                snorms = evaluator.eval_normal_at_points(upts[spos])
+                norms = snorms[sinv].reshape(-1, 8, 3)
+                complex_cell = np.zeros_like(surface)
+                complex_cell[scells] = _edge_angles(norms) > threshold
             else:
                 complex_cell = np.zeros_like(surface)
+            lt["normals"] = round(time.time() - t0, 3)
+            t0 = time.time()
             emit = surface & ~complex_cell
             if emit.any():
                 n_samples = min((1 << (grid_l - L)) - 1, _MAX_EDGE_SAMPLES)
@@ -310,9 +327,12 @@ def extract_surface_adaptive(
                     evaluator, cells[cand], vals[cand], lo, cellsize, n_samples
                 )
                 emit[cand[amb]] = False
+            lt["ambiguity"] = round(time.time() - t0, 3)
+            t0 = time.time()
             refine = near & ~emit
 
         # 3. emission at this level, vertices canonical on the fine lattice.
+        t0 = time.time()
         lvl_keys = np.zeros((0,), np.int64)
         lvl_pos = np.zeros((0, 3), np.float32)
         if emit.any():
@@ -328,6 +348,7 @@ def extract_surface_adaptive(
                 all_pos.append(lvl_pos)
                 level_tris[L] = int(keys.shape[0])
                 levels_emitted += 1
+        lt["emit"] = round(time.time() - t0, 3)
 
         rc = cells[refine]
         cells = (rc[:, None, :] * 2 + CORNERS[None, :, :]).reshape(-1, 3)

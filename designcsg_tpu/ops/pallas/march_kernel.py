@@ -209,6 +209,7 @@ def make_pallas_cone_march(
     config: Optional[RenderConfig] = None,
     cone_slope: float = 0.0,
     interpret: bool = False,
+    strict: bool = False,
 ):
     """Cone prepass: ``cone_march(arrays, o_proj f32[3], rays f32[..., 3])
     -> t_safe f32[...]`` — march each (block-center) ray with the
@@ -280,9 +281,13 @@ def make_pallas_cone_march(
                 vy = vy + advance * s * ry
                 vz = vz + advance * s * rz
                 d = d + advance * s
-                # A miss (left the scene) makes the whole remaining ray safe.
+                # A miss (left the scene) makes the whole remaining ray safe
+                # — unless strict, where fine rays must march the prepass's
+                # final unverified segment themselves (ADVICE r2: the miss
+                # shortcut can drop thin/far features).
                 miss = advance * jnp.where(d > max_d, 1.0, 0.0)
-                tprev = jnp.where(miss > 0.5, d, tprev)
+                if not strict:
+                    tprev = jnp.where(miss > 0.5, d, tprev)
                 done = jnp.minimum(done + stop + miss, 1.0)
             return (step + unroll, vx, vy, vz, d, done, tprev)
 
@@ -750,6 +755,7 @@ def make_hierarchical_renderer(
         config,
         cone_slope=config.cone_safety * cone_half_angle,
         interpret=interpret,
+        strict=bool(getattr(config, "cone_strict", False)),
     )
     fine = make_pallas_renderer(
         scene, config, interpret=interpret, t0_input=True

@@ -185,7 +185,25 @@ class StudioSession:
             import jax
 
             backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-        self.config = RenderConfig(width=width, height=height)
+        # The studio viewport is the interactive surface (the reference
+        # free-runs its 640x480 pane): on the Pallas path use the
+        # hit-preserving fast march (over-relax + cone prepass when the
+        # viewport tiles allow it — 123.9 Mrays/s vs 74.4 exact on v5e).
+        # Exports are unaffected (the export pipeline is exact-semantics).
+        fast = backend == "pallas"
+        hier = (
+            fast
+            and width % 5 == 0
+            and height % 5 == 0
+            and width % 32 == 0
+            and height % 32 == 0
+        )
+        self.config = RenderConfig(
+            width=width,
+            height=height,
+            march_overrelax=1.6 if fast else 1.0,
+            march_hierarchical=hier,
+        )
         self.backend = backend
         self.camera = Camera.initial()
         self.scene: Optional[CompiledScene] = None

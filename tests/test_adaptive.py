@@ -197,3 +197,33 @@ def test_edge_sample_cap_matches_uncapped(design1_eval):
         np.sort(uncapped.vertices.view(np.float32).reshape(-1)),
         atol=0,
     )
+
+
+def test_adaptive_reference_scale_grid256(design1_eval):
+    """Design1's own export configuration (octree 5->7, grid 2^8 — the
+    reference's Designs/Design1.py:52-64) through the adaptive extractor:
+    watertight across level transitions (zero boundary edges after healing)
+    and strictly fewer triangles than uniform extraction at the fine level.
+    The TPU-scale counterpart (Design2's octree 6->8 / grid 2^9 config, 90 s
+    wall on one v5e chip, zero boundary edges) is recorded in BASELINE.md."""
+    cfg = ExportConfig(
+        bounding_box_half_diameter=10.0,
+        minimum_octree_level=5,
+        maximum_octree_level=7,
+        grid_level=8,
+        gradient_descent_steps=0,
+    )
+    stats = {}
+    mesh = extract_surface_adaptive(
+        design1_eval, np.zeros(3), 10.0, cfg, stats=stats
+    )
+    assert mesh.num_faces > 2_000
+    assert boundary_edges(mesh).shape[0] == 0
+    assert stats.get("open_loops", 0) == 0
+    hist = stats["level_triangles"]
+    assert set(hist) <= {5, 6, 7} and hist[5] > 0 and hist[7] > 0
+    # Coarse levels must actually pay off vs uniform-at-max-level.
+    uniform = extract_surface_active(
+        design1_eval, np.zeros(3), 10.0, 128, midpoint=False
+    )
+    assert mesh.num_faces < uniform.num_faces
