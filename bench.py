@@ -110,21 +110,36 @@ def main():
             reps = 3 if name == "logo" else 20
             if supports_scene(sc):
                 engine, factory = "pallas", make_pallas_renderer
+                bx, rx = time_render(
+                    RenderConfig(),
+                    factory=factory,
+                    bench_scene=sc,
+                    bench_arrays=arr,
+                    reps=reps,
+                )
             else:
                 # Reduction-style brushes (Logo's 3k-sample Bezier distance)
                 # are MXU workloads XLA fuses well but Mosaic's vector
                 # layouts cannot express efficiently (BASELINE.md roofline
-                # notes) — the staged jnp path IS their TPU fast path.
-                engine, factory = "jnp staged", (
-                    lambda s, c: jax.jit(make_renderer(s, c))
+                # notes) — the proxy-prepass + ray-compaction XLA path IS
+                # their TPU fast path.  Host-orchestrated, so timed by wall
+                # clock over repeated calls.
+                from designcsg_tpu.camera import Camera
+                from designcsg_tpu.ops.raymarch import make_compacted_renderer
+
+                engine = "jnp compacted"
+                cfg = RenderConfig()
+                render = make_compacted_renderer(sc, cfg)
+                campos_, rgt_, upp_, fwd_ = (
+                    jnp.asarray(a) for a in Camera.initial().as_arrays()
                 )
-            bx, rx = time_render(
-                RenderConfig(),
-                factory=factory,
-                bench_scene=sc,
-                bench_arrays=arr,
-                reps=reps,
-            )
+                np_img = render(arr, campos_, rgt_, upp_, fwd_)  # warm
+                bx = float("inf")
+                for _ in range(reps):
+                    t0 = time.time()
+                    render(arr, campos_, rgt_, upp_, fwd_)
+                    bx = min(bx, time.time() - t0)
+                rx = cfg.width * cfg.height / bx
             log(
                 f"{name} viewport (exact k1, {engine}): {bx*1e3:.3f} ms/frame"
                 f" -> {rx/1e6:.2f} Mrays/s"

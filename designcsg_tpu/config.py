@@ -93,6 +93,15 @@ class RenderConfig:
     # often the expensive one (cull.worth_culling).  Opt in for scenes with
     # many expensive, spatially-separated brushes.
     march_cull: Optional[bool] = None
+    # Two-phase proxy march (jnp path): when brushes advertise a cheap
+    # __proxy_fn__ LOWER bound (e.g. Logo's plate clip standing in for its
+    # 3k-sample Bezier distance), phase 1 marches the proxy scene through
+    # open space and phase 2 runs the full tape only from the handoff.
+    # Hit-preserving (proxy <= sdf implies every sdf<eps region is also
+    # proxy<eps); hit parameters agree to ~sdf_epsilon.  None = auto
+    # (enabled when safe proxies exist; proxied brushes under a NEGATE
+    # disable it — a lower bound flips to an upper bound there).
+    march_proxy: Optional[bool] = None
     # Micro-steps per march-loop iteration in the fused Pallas kernels
     # (exact semantics: masked no-op evals past a tile's finish, steps past
     # max_steps gated off).  The while-loop's tile-exit reduction + carry

@@ -89,16 +89,27 @@ def gizmo_sdf(points, radius=AXES_RADIUS):
     return jnp.minimum(dx, jnp.minimum(dy, dz))
 
 
-def make_primary_sdf(scene: CompiledScene, gizmo: bool = False) -> Callable:
+def make_primary_sdf(
+    scene: CompiledScene, gizmo: bool = False, proxy: bool = False
+) -> Callable:
     """Stage the scene's tape into a pure JAX function
     ``sdf(points, arrays) -> distances``.
 
     ``arrays`` is passed as a traced argument so gradients flow to object
     banks and arbitrary data; the tape structure and brush bank come from
     ``scene`` and are baked in at trace time.
+
+    ``proxy`` substitutes each brush's ``__proxy_fn__`` (a cheap LOWER bound
+    of the brush SDF, e.g. the Logo letters' plate clip in place of the 3k-
+    sample Bezier distance) where one exists — the conservative scene the
+    two-phase proxy march steps through open space (ops/raymarch.py).
     """
     tape = [tuple(int(x) for x in row) for row in np.asarray(scene.arrays.tape)]
     brush_fns = scene.brush_fns
+    if proxy:
+        brush_fns = [
+            getattr(fn, "__proxy_fn__", None) or fn for fn in brush_fns
+        ]
 
     def primary_sdf(points, arrays: Optional[SceneArrays] = None):
         if arrays is None:

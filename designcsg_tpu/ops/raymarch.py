@@ -85,6 +85,84 @@ def _maybe_pallas_ray_march(scene: CompiledScene, config: RenderConfig):
     return make_pallas_ray_march(scene, config, interpret=not on_tpu)
 
 
+def _has_safe_proxies(scene: CompiledScene) -> bool:
+    """True when some brush carries a ``__proxy_fn__`` (a cheap lower bound)
+    AND every proxied brush sits at positive parity in the CSG tree — a
+    lower bound through an odd number of NEGATEs becomes an UPPER bound,
+    which would let the proxy march step through real surfaces."""
+    if not any(
+        getattr(fn, "__proxy_fn__", None) is not None for fn in scene.brush_fns
+    ):
+        return False
+    import numpy as _np
+
+    from .pallas.cull import _push_neg, build_tape_tree
+
+    tape = [tuple(int(v) for v in row) for row in _np.asarray(scene.arrays.tape)]
+    root, _ = build_tape_tree(tape)
+    if root is None:
+        return False
+    flat = _push_neg(root)
+    safe = True
+
+    def walk(node):
+        nonlocal safe
+        if node.op == "leaf":
+            fn = scene.brush_fns[node.brush]
+            if getattr(fn, "__proxy_fn__", None) is not None and node.negated:
+                safe = False
+        for c in node.children:
+            walk(c)
+
+    walk(flat)
+    return safe
+
+
+def make_proxy_prepass(scene: CompiledScene, config: RenderConfig):
+    """Phase-1 march over the PROXY scene (expensive brushes replaced by
+    their cheap lower bounds): conservative steps (proxy <= sdf) through
+    open space, stopping where the proxy dips under epsilon — every true
+    hit satisfies sdf < eps hence proxy < eps, so no hit region is skipped.
+    Returns per-ray (t0, miss): phase 2 marches the full tape from t0, and
+    proxy-missed rays never touch the expensive brushes at all."""
+    proxy_sdf = make_primary_sdf(scene, gizmo=config.gizmo, proxy=True)
+    eps = config.sdf_epsilon
+    tol = config.march_tolerance
+    max_d = config.max_distance
+    max_steps = config.max_steps
+
+    def prepass(origins, dirs, arrays):
+        batch = dirs.shape[:-1]
+        v0 = jnp.broadcast_to(origins, dirs.shape).astype(dirs.dtype)
+        d0 = jnp.zeros(batch, dtype=dirs.dtype)
+        stop0 = jnp.zeros(batch, dtype=bool)
+        miss0 = jnp.zeros(batch, dtype=bool)
+
+        def cond(state):
+            step, _, _, stop, miss = state
+            return jnp.logical_and(step < max_steps, ~jnp.all(stop | miss))
+
+        def body(state):
+            step, v, d, stop, miss = state
+            active = ~(stop | miss)
+            s = proxy_sdf(v, arrays) * tol
+            new_stop = jnp.logical_and(active, s < eps)
+            advance = jnp.logical_and(active, ~new_stop)
+            v = jnp.where(advance[..., None], v + s[..., None] * dirs, v)
+            d = jnp.where(advance, d + s, d)
+            new_miss = jnp.logical_and(advance, d > max_d)
+            return step + 1, v, d, stop | new_stop, miss | new_miss
+
+        _, _, d, stop, miss = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0), v0, d0, stop0, miss0)
+        )
+        # Step-budget exhaustion without stop or miss: treat as t0 = d
+        # (phase 2 continues from there; its own budget applies).
+        return d, miss
+
+    return prepass
+
+
 def make_march(scene: CompiledScene, config: RenderConfig):
     """Build ``march(origins, dirs, arrays) -> d`` — signed hit distance along
     the (unnormalized) ray; -1 on miss (k1.cl:420-470).
@@ -92,16 +170,30 @@ def make_march(scene: CompiledScene, config: RenderConfig):
     When the fused Pallas ray-march kernel is eligible (see
     :func:`_maybe_pallas_ray_march`) it replaces the jnp while_loop: the
     whole march runs in one kernel launch with per-1024-ray-tile early exit
-    instead of a full-batch all() condition per step."""
+    instead of a full-batch all() condition per step.
+
+    When the scene has safe brush proxies (``march_proxy`` auto/True — e.g.
+    Logo's letter plates) a two-phase march runs: cheap conservative proxy
+    steps through open space, full-tape steps only from the proxy handoff —
+    hit-preserving (proxy <= sdf), hit parameters agree to ~sdf_epsilon."""
     sdf = make_primary_sdf(scene, gizmo=config.gizmo)
     eps = config.sdf_epsilon
     tol = config.march_tolerance
     max_d = config.max_distance
     max_steps = config.max_steps
+    # march_proxy=None means OFF here: in a full-image jnp march, masked
+    # rays still evaluate the full tape every step, so the prepass alone
+    # cannot save work (measured: 1.25x SLOWER on Logo) — ray COMPACTION is
+    # what makes it pay (make_compacted_renderer).  Explicit True opts in
+    # (and still requires parity safety).
+    want_proxy = bool(getattr(config, "march_proxy", None)) and _has_safe_proxies(
+        scene
+    )
+    prepass = make_proxy_prepass(scene, config) if want_proxy else None
     omega = float(getattr(config, "march_overrelax", 1.0))
     if omega > 1.0:
         warn_if_not_lipschitz(scene, "over-relaxed march")
-        return _make_overrelaxed_march(sdf, config)
+        return _make_overrelaxed_march(sdf, config, prepass=prepass)
     pallas_march = _maybe_pallas_ray_march(scene, config)
 
     def march(origins, dirs, arrays: SceneArrays, return_closest: bool = False):
@@ -118,8 +210,11 @@ def make_march(scene: CompiledScene, config: RenderConfig):
         batch = dirs.shape[:-1]
         v0 = jnp.broadcast_to(origins, dirs.shape).astype(dirs.dtype)
         d0 = jnp.zeros(batch, dtype=dirs.dtype)
-        hit0 = jnp.zeros(batch, dtype=bool)
         miss0 = jnp.zeros(batch, dtype=bool)
+        if prepass is not None:
+            d0, miss0 = prepass(origins, dirs, arrays)
+            v0 = v0 + d0[..., None] * dirs
+        hit0 = jnp.zeros(batch, dtype=bool)
         smin0 = jnp.full(batch, MAX_DISTANCE, dtype=dirs.dtype)
         vmin0 = v0
 
@@ -154,7 +249,7 @@ def make_march(scene: CompiledScene, config: RenderConfig):
     return march
 
 
-def _make_overrelaxed_march(sdf, config: RenderConfig):
+def _make_overrelaxed_march(sdf, config: RenderConfig, prepass=None):
     """Over-relaxed sphere tracing (Keinert et al. 2014, "Enhanced Sphere
     Tracing" §3.1): step by ``omega * s`` and, whenever consecutive bounding
     spheres stop overlapping (``|s| + prev_|s| < last_step``), retract the
@@ -172,8 +267,11 @@ def _make_overrelaxed_march(sdf, config: RenderConfig):
         batch = dirs.shape[:-1]
         v0 = jnp.broadcast_to(origins, dirs.shape).astype(dirs.dtype)
         d0 = jnp.zeros(batch, dtype=dirs.dtype)
-        hit0 = jnp.zeros(batch, dtype=bool)
         miss0 = jnp.zeros(batch, dtype=bool)
+        if prepass is not None:
+            d0, miss0 = prepass(origins, dirs, arrays)
+            v0 = v0 + d0[..., None] * dirs
+        hit0 = jnp.zeros(batch, dtype=bool)
         prev0 = jnp.zeros(batch, dtype=dirs.dtype)
         step_len0 = jnp.zeros(batch, dtype=dirs.dtype)
         omg0 = jnp.full(batch, omega0, dtype=dirs.dtype)
@@ -464,14 +562,24 @@ def render_scene(
     config: Optional[RenderConfig] = None,
     arrays: Optional[SceneArrays] = None,
 ):
-    """Convenience one-shot render with the default viewport camera."""
+    """Convenience one-shot render with the default viewport camera.
+
+    Scenes with safe brush proxies (Logo-class expensive brushes) render
+    through :func:`make_compacted_renderer` unless ``config.march_proxy``
+    is explicitly False — ~3x faster with eps-level shading differences at
+    glyph silhouettes (the over-relax contract)."""
     from ..camera import Camera
 
     if camera is None:
         camera = Camera.initial()
     if config is None:
         config = RenderConfig()
-    renderer = jax.jit(make_renderer(scene, config))
+    if getattr(config, "march_proxy", None) is not False and _has_safe_proxies(
+        scene
+    ):
+        renderer = make_compacted_renderer(scene, config)
+    else:
+        renderer = jax.jit(make_renderer(scene, config))
     campos, rgt, upp, fwd = camera.as_arrays()
     if arrays is None:
         arrays = scene.arrays
@@ -540,3 +648,111 @@ def warn_if_not_lipschitz(
             est,
         )
     return est
+
+
+def make_compacted_renderer(
+    scene: CompiledScene, config: Optional[RenderConfig] = None
+):
+    """Host-orchestrated renderer for scenes with safe brush proxies
+    (``_has_safe_proxies``): the divergence answer for expensive brushes on
+    the XLA path.
+
+    A full-image jnp march cannot skip work for finished rays (masks select
+    values, not computation), so Logo-class scenes pay the ~3k-sample letter
+    brush for every pixel at every step.  Here:
+
+    1. a jitted PROXY prepass (cheap lower-bound scene) marches all rays,
+       classifying most background pixels as misses without ever touching
+       the expensive brushes;
+    2. the survivors are gathered into a pow2-padded dense batch on the
+       host and the full-tape march runs over that compact batch from the
+       per-ray handoff parameter (hit-preserving: proxy <= sdf);
+    3. normals and shading run on the compacted hit points only; results
+       scatter back into the image.
+
+    Not jittable end-to-end (the compaction is data-dependent); each jitted
+    stage caches per pow2 bucket size.  Output matches the plain renderer
+    pixel-exactly on the shipped Logo scene (measured) and is
+    hit-preserving by construction."""
+    if config is None:
+        config = RenderConfig()
+    import dataclasses as _dc
+
+    inner_cfg = _dc.replace(config, march_proxy=False)
+    prepass = jax.jit(make_proxy_prepass(scene, config))
+    march = make_march(scene, inner_cfg)
+    sdf = make_primary_sdf(scene, gizmo=config.gizmo)
+    normal_fn = make_normal_fn(
+        sdf, mode=config.normal_mode, epsilon=config.normal_epsilon
+    )
+    shade = make_shade(scene, config)
+    miss_color = np.asarray(config.miss_color, dtype=np.float32)
+
+    march_cache = {}
+
+    def march_bucket(n_pad: int):
+        if n_pad not in march_cache:
+
+            @jax.jit
+            def run(o_flat, r_flat, t0_flat, arrays, rgt, upp, fwd):
+                o_shift = o_flat + t0_flat[:, None] * r_flat
+                dd = march(o_shift, r_flat, arrays)
+                # dd == 0 is a legitimate hit AT the handoff point (the
+                # proxy stops within eps of plate faces); the reference's
+                # "d == 0 renders miss" quirk (k1.cl:552) applies to the
+                # TOTAL parameter t0 + dd, exactly as a from-origin march
+                # would have measured it.
+                hit = dd >= 0.0
+                d_total = t0_flat + jnp.maximum(dd, 0.0)
+                shaded = jnp.logical_and(hit, d_total > 0.0)
+                p = o_shift + jnp.maximum(dd, 0.0)[:, None] * r_flat
+                n = normal_fn(p, arrays)
+                ctx = EvalContext(ad=arrays.ad, rgt=rgt, upp=upp, fwd=fwd)
+                color = shade(p, n, arrays, ctx)
+                return jnp.where(shaded[:, None], color, miss_color)
+
+            march_cache[n_pad] = run
+        return march_cache[n_pad]
+
+    def render(arrays: SceneArrays, campos, rgt, upp, fwd):
+        campos = jnp.asarray(campos, dtype=jnp.float32)
+        rgt = jnp.asarray(rgt, dtype=jnp.float32)
+        upp = jnp.asarray(upp, dtype=jnp.float32)
+        fwd = jnp.asarray(fwd, dtype=jnp.float32)
+        dirs = ray_directions(config)
+        o_proj = _project(campos, rgt, upp, fwd)
+        r_proj = np.asarray(_project(dirs, rgt, upp, fwd)).reshape(-1, 3)
+
+        t0, miss = prepass(o_proj, jnp.asarray(r_proj), arrays)
+        # Retreat the handoff a couple of epsilons so phase 2 approaches
+        # the surface with its own step sequence (shading at the proxy's
+        # exact stop point differs at glyph edges).
+        t0 = np.maximum(np.asarray(t0).reshape(-1) - 2.0 * config.sdf_epsilon, 0.0)
+        miss = np.asarray(miss).reshape(-1)
+
+        h, w = config.height, config.width
+        img = np.broadcast_to(miss_color, (h * w, 3)).copy()
+        idx = np.nonzero(~miss)[0]
+        if idx.size:
+            n_pad = max(1024, 1 << int(np.ceil(np.log2(idx.size))))
+            o_flat = np.broadcast_to(np.asarray(o_proj), (n_pad, 3)).copy()
+            r_flat = np.zeros((n_pad, 3), np.float32)
+            r_flat[: idx.size] = r_proj[idx]
+            r_flat[idx.size :] = [0.0, 0.0, 1e-6]  # inert padding rays
+            t0_flat = np.zeros((n_pad,), np.float32)
+            t0_flat[: idx.size] = t0[idx]
+            color = np.asarray(
+                march_bucket(n_pad)(
+                    jnp.asarray(o_flat),
+                    jnp.asarray(r_flat),
+                    jnp.asarray(t0_flat),
+                    arrays,
+                    rgt,
+                    upp,
+                    fwd,
+                )
+            )
+            img[idx] = color[: idx.size]
+        return jnp.asarray(img.reshape(h, w, 3))
+
+    return render

@@ -45,9 +45,17 @@ def _make_render_fn(scene: CompiledScene, config: RenderConfig, backend: str):
         else:
             backend = "jnp"
     if backend == "jnp":
-        from .ops.raymarch import make_renderer
+        from .ops.raymarch import (
+            _has_safe_proxies,
+            make_compacted_renderer,
+            make_renderer,
+        )
 
-        render = jax.jit(make_renderer(scene, config))
+        if _has_safe_proxies(scene):
+            # Logo-class scenes: proxy prepass + ray compaction (~3x).
+            render = make_compacted_renderer(scene, config)
+        else:
+            render = jax.jit(make_renderer(scene, config))
 
     def run(camera: Camera):
         campos, rgt, upp, fwd = (jnp.asarray(a) for a in camera.as_arrays())

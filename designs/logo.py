@@ -221,6 +221,20 @@ def _make_letter_brush(curve_start: int, n_curves: int, mask_start: int):
         slab = jnp.abs(z - 1.25) - 0.125
         return jnp.maximum(jnp.maximum(signed, box), slab)
 
+    def plate_proxy(v, ctx):
+        # Exact LOWER bound of letter_fn: the full brush is
+        # max(signed, box, slab) >= max(box, slab).  Drives the two-phase
+        # proxy march (ops/raymarch.py): open-space steps never evaluate
+        # the Bezier sample loop.
+        v = 2.0 * v
+        x, y, z = v[..., 0], v[..., 1], v[..., 2]
+        box = jnp.maximum(
+            jnp.abs(x) - 1.25, jnp.maximum(jnp.abs(y) - 1.25, jnp.abs(z) - 1.25)
+        )
+        slab = jnp.abs(z - 1.25) - 0.125
+        return jnp.maximum(box, slab)
+
+    letter_fn.__proxy_fn__ = plate_proxy
     return letter_fn
 
 

@@ -172,3 +172,35 @@ def test_scene_lipschitz_check():
     finally:
         logging.getLogger("designcsg_tpu").removeHandler(h)
     assert any("Lipschitz" in r.getMessage() for r in records)
+
+
+def test_compacted_renderer_matches_plain_logo():
+    """The proxy-prepass + ray-compaction renderer (the divergence answer
+    for Logo-class expensive brushes on the XLA path) matches the plain
+    full-image renderer up to the over-relax contract: identical images
+    away from silhouettes, eps-level shading jitter at glyph edges, ~0
+    hit-mask flips."""
+    import designs
+    from designcsg_tpu.camera import Camera
+    from designcsg_tpu.config import RenderConfig
+    from designcsg_tpu.ops.interpreter import as_device_arrays
+    from designcsg_tpu.ops.raymarch import (
+        _has_safe_proxies,
+        make_compacted_renderer,
+        make_renderer,
+        to_u8,
+    )
+
+    logo = designs.get_design("logo")
+    assert _has_safe_proxies(logo)
+    assert not _has_safe_proxies(designs.get_design("design1"))
+    arrays = as_device_arrays(logo.arrays)
+    campos, rgt, upp, fwd = (jnp.asarray(a) for a in Camera.initial().as_arrays())
+    cfg = RenderConfig(width=96, height=72, march_overrelax=1.6)
+    img_c = np.asarray(to_u8(make_compacted_renderer(logo, cfg)(arrays, campos, rgt, upp, fwd)))
+    img_p = np.asarray(to_u8(jax.jit(make_renderer(logo, cfg))(arrays, campos, rgt, upp, fwd)))
+    hit_c = (img_c < 250).any(axis=-1)
+    hit_p = (img_p < 250).any(axis=-1)
+    assert (hit_c != hit_p).mean() < 5e-3  # hit masks agree
+    diff = np.abs(img_c.astype(int) - img_p.astype(int)).max(axis=-1)
+    assert (diff > 8).mean() < 0.03  # shading jitter confined to edges
