@@ -17,7 +17,6 @@ Reference semantics: k1.cl:420-470 (march), 381-418 (normal), 280-379
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -34,16 +33,6 @@ from .brushes_kernel import kernel_brushes_for_scene, kernel_materials_for_scene
 from .cull import make_tape_culler, ray_box
 from .sdf_kernel import _bank_inputs, _bank_specs, _split_bank_refs
 from .tape import make_component_tape, smem_bank_reader
-
-_BIG = 3.0e38
-
-
-def _active_d_interval(active, d):
-    """Scalar (min, max) of ``d`` over active rays (f32 0/1 mask)."""
-    on = active > 0.5
-    lo = jnp.min(jnp.where(on, d, _BIG))
-    hi = jnp.max(jnp.where(on, d, -_BIG))
-    return (lo, hi)
 
 
 def _plane_interval(p):
@@ -123,8 +112,14 @@ def make_pallas_ray_march(
         def body(state):
             step, vx, vy, vz, d, hit, miss, smin, vmx, vmy, vmz = state
             for i in range(unroll):
-                within = jnp.where(step + i < max_steps, 1.0, 0.0)
-                active = (1.0 - hit) * (1.0 - miss) * within
+                # step enters ≡ 0 (mod unroll) with step < max_steps, so
+                # when unroll divides max_steps every micro-step is within
+                # the budget and the gate is statically elided.
+                if max_steps % unroll:
+                    within = jnp.where(step + i < max_steps, 1.0, 0.0)
+                    active = (1.0 - hit) * (1.0 - miss) * within
+                else:
+                    active = (1.0 - hit) * (1.0 - miss)
                 s = sdf(vx, vy, vz) * tol
                 closer = active * jnp.where(s < smin, 1.0, 0.0)
                 smin = jnp.where(closer > 0.5, s, smin)
@@ -268,8 +263,11 @@ def make_pallas_cone_march(
         def body(state):
             step, vx, vy, vz, d, done, tprev = state
             for i in range(unroll):
-                within = jnp.where(step + i < max_steps, 1.0, 0.0)
-                active = (1.0 - done) * within
+                if max_steps % unroll:
+                    within = jnp.where(step + i < max_steps, 1.0, 0.0)
+                    active = (1.0 - done) * within
+                else:
+                    active = 1.0 - done
                 s = sdf(vx, vy, vz) * tol
                 stop = active * jnp.where(s < eps + d * slope, 1.0, 0.0)
                 advance = active * (1.0 - stop)
@@ -491,8 +489,11 @@ def make_pallas_renderer(
             def body(state):
                 step, vx, vy, vz, d, hit, miss = state
                 for i in range(K):
-                    within = jnp.where(step + i < max_steps, 1.0, 0.0)
-                    active = (1.0 - hit) * (1.0 - miss) * within
+                    if max_steps % K:
+                        within = jnp.where(step + i < max_steps, 1.0, 0.0)
+                        active = (1.0 - hit) * (1.0 - miss) * within
+                    else:
+                        active = (1.0 - hit) * (1.0 - miss)
                     s = sdf(vx, vy, vz, cone_cull) * tol
                     new_hit = active * jnp.where(s < eps, 1.0, 0.0)
                     advance = active * (1.0 - new_hit)
@@ -526,8 +527,11 @@ def make_pallas_renderer(
             def body(state):
                 step, vx, vy, vz, d, hit, miss, prev_r, step_len, omg = state
                 for i in range(K):
-                    within = jnp.where(step + i < max_steps, 1.0, 0.0)
-                    active = (1.0 - hit) * (1.0 - miss) * within
+                    if max_steps % K:
+                        within = jnp.where(step + i < max_steps, 1.0, 0.0)
+                        active = (1.0 - hit) * (1.0 - miss) * within
+                    else:
+                        active = (1.0 - hit) * (1.0 - miss)
                     s = sdf(vx, vy, vz, cone_cull) * tol
                     sor_ok = jnp.where(jnp.abs(s) + prev_r < step_len, 0.0, 1.0)
                     sor_ok = jnp.where(omg > 1.0, sor_ok, 1.0)

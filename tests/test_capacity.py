@@ -78,7 +78,7 @@ def test_reference_command_capacity_renders_and_exports(ring127):
     t0 = time.time()
     import jax
 
-    config = RenderConfig(width=64, height=48, max_steps=64)
+    config = RenderConfig(width=48, height=32, max_steps=32)
     render = jax.jit(make_renderer(scene, config))
     campos, rgt, upp, fwd = (jnp.asarray(a) for a in Camera.initial().as_arrays())
     img = np.asarray(render(as_device_arrays(scene.arrays), campos, rgt, upp, fwd))
@@ -92,7 +92,7 @@ def test_reference_command_capacity_renders_and_exports(ring127):
     mesh, report = export_mesh(
         scene,
         ExportConfig(
-            bounding_box_half_diameter=10.0, grid_level=5,
+            bounding_box_half_diameter=10.0, grid_level=4,
             gradient_descent_steps=2,
         ),
         autodetect=False,

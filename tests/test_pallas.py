@@ -328,7 +328,7 @@ def test_march_cull_bit_identical(design1):
     normal's differencing amplifies those ulps ~1e3x; on-chip, where both
     paths compile through Mosaic identically, the diff measures 0.0)."""
     arrays = as_device_arrays(design1.arrays)
-    config = RenderConfig(width=128, height=16, max_steps=96, march_cull=True)
+    config = RenderConfig(width=128, height=8, max_steps=64, march_cull=True)
     base = dataclasses.replace(config, march_cull=False)
     campos, rgt, upp, fwd = (jnp.asarray(a) for a in Camera.initial().as_arrays())
     culled = np.asarray(
@@ -441,7 +441,7 @@ def test_cone_strict_mode_preserves_tail_hits(design1):
 
     arrays = as_device_arrays(design1.arrays)
     config = RenderConfig(
-        width=160, height=160, max_steps=128, march_hierarchical=True,
+        width=160, height=160, max_steps=96, march_hierarchical=True,
         cone_strict=True,
     )
     campos, rgt, upp, fwd = (jnp.asarray(a) for a in Camera.initial().as_arrays())
