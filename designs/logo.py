@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -191,11 +192,35 @@ def _make_letter_brush(curve_start: int, n_curves: int, mask_start: int):
         samples = samples.reshape(-1, 2)  # [C*S, 2]
         thickness = ad[curve_start + 9]
 
-        p = jnp.stack([x, y], axis=-1)  # [..., 2]
-        d2 = jnp.sum(
-            (p[..., None, :] - samples) ** 2, axis=-1
-        )  # [..., C*S]
-        d = jnp.sqrt(jnp.min(d2, axis=-1))
+        # min_j |p - s_j|^2 = (x^2 + y^2) + min_j (-2 s_j . p + |s_j|^2):
+        # the min of affine functions of p — evaluated as chunked matmuls
+        # (MXU) with a running min, instead of materializing the
+        # [pixels, C*S, 2] broadcast difference (memory-bound; dominated
+        # the Logo render).  Identical values up to FMA rounding;
+        # differentiable w.r.t. the AD-derived samples throughout.
+        sx, sy = samples[:, 0], samples[:, 1]
+        ns = sx.shape[0]
+        CH = 256
+        pad = (-ns) % CH
+        big = jnp.float32(3.0e37)
+        aff = jnp.stack(
+            [
+                jnp.concatenate([-2.0 * sx, jnp.zeros(pad, sx.dtype)]),
+                jnp.concatenate([-2.0 * sy, jnp.zeros(pad, sy.dtype)]),
+                jnp.concatenate([sx * sx + sy * sy, jnp.full(pad, big)]),
+            ],
+            axis=0,
+        )  # [3, NSpad]
+        P = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)  # [..., 3]
+        chunks = aff.reshape(3, -1, CH).transpose(1, 0, 2)  # [nch, 3, CH]
+
+        def chunk_min(m, Bc):
+            vals = jnp.einsum("...k,kc->...c", P, Bc)
+            return jnp.minimum(m, vals.min(axis=-1)), None
+
+        m0 = jnp.full(x.shape, big, dtype=x.dtype)
+        m, _ = jax.lax.scan(chunk_min, m0, chunks)
+        d = jnp.sqrt(jnp.maximum(x * x + y * y + m, 0.0))
 
         # Sign from the packed bitmask (Logo.py:263-275).
         query_col = (r * (x + 1.0) / 2.0).astype(jnp.int32)
