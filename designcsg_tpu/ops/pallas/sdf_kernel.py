@@ -121,8 +121,8 @@ def make_pallas_point_eval(
     return point_eval
 
 
-BZ = 8  # z cells per grid block
-BY = 32  # y cells per grid block
+BZ = 16  # z cells per grid block
+BY = 32  # y cells per grid block (best of the measured (BZ,BY) sweep)
 
 
 def make_grid_eval(

@@ -588,8 +588,8 @@ class StudioHandler(BaseHTTPRequestHandler):
 
             if urlparse(origin).netloc != host:
                 raise self._Reject(403, "cross-origin request rejected")
-        token = self.headers.get("X-Studio-Token")
-        if token != self.session.token:
+        token = self.headers.get("X-Studio-Token") or ""
+        if not secrets.compare_digest(token, self.session.token):
             raise self._Reject(403, "missing or invalid X-Studio-Token")
 
     def do_GET(self):
