@@ -116,10 +116,9 @@ def _canonical_offsets(
     steps = np.arange(scale + 1, dtype=np.int64)
     unit = np.eye(3, dtype=np.int64)[uaxis]  # [U, 3]
     pts_fine = uorig[:, None, :] + steps[None, :, None] * unit[:, None, :]
-    world = (lo[None, None, :] + fine_cell * pts_fine).astype(np.float32)
-    v = evaluator.eval_sdf_at_points(world.reshape(-1, 3)).reshape(
-        -1, scale + 1
-    )
+    v = evaluator.eval_sdf_at_lattice(
+        pts_fine.reshape(-1, 3), lo, fine_cell
+    ).reshape(-1, scale + 1)
     s = v < 0.0
     trans = s[:, 1:] != s[:, :-1]  # [U, scale]
     any_t = trans.any(axis=1)
@@ -190,17 +189,17 @@ def _ambiguous_edges(
     C = cells.shape[0]
     if C == 0 or samples_per_edge <= 0:
         return np.zeros((C,), bool)
-    corner_pos = (cells[:, None, :] + CORNERS[None, :, :]).astype(np.float64)
-    a = corner_pos[:, EDGES[:, 0], :]  # [C, 12, 3] grid units
+    corner_pos = cells[:, None, :] + CORNERS[None, :, :]  # [C, 8, 3] int
+    a = corner_pos[:, EDGES[:, 0], :]  # [C, 12, 3] grid units (int)
     b = corner_pos[:, EDGES[:, 1], :]
-    fr = (np.arange(1, samples_per_edge + 1) / (samples_per_edge + 1)).astype(
-        np.float64
-    )
-    pts = a[:, :, None, :] + (b - a)[:, :, None, :] * fr[None, None, :, None]
-    world = (lo[None, None, None, :] + cellsize * pts).astype(np.float32)
-    interior = evaluator.eval_sdf_at_points(world.reshape(-1, 3)).reshape(
-        C, 12, samples_per_edge
-    )
+    # Interior samples sit on the (samples+1)x-refined lattice: integer
+    # indices there, evaluated via the i16 lattice path.
+    m = samples_per_edge + 1
+    ks = np.arange(1, samples_per_edge + 1)
+    idx = a[:, :, None, :] * m + (b - a)[:, :, None, :] * ks[None, None, :, None]
+    interior = evaluator.eval_sdf_at_lattice(
+        idx.reshape(-1, 3), lo, cellsize / m
+    ).reshape(C, 12, samples_per_edge)
     sign_a = vals[:, EDGES[:, 0], None] < 0.0
     sign_b = vals[:, EDGES[:, 1], None] < 0.0
     seq = np.concatenate([sign_a, interior < 0.0, sign_b], axis=2)
@@ -287,10 +286,11 @@ def extract_surface_adaptive(
         kz = ukeys // (r1 * r1)
         ky = (ukeys // r1) % r1
         kx = ukeys % r1
-        upts = (
-            lo[None, :] + cellsize * np.stack([kx, ky, kz], axis=-1)
-        ).astype(np.float32)
-        uvals = evaluator.eval_sdf_at_points(upts)
+        uidx = np.stack([kx, ky, kz], axis=-1)
+        # Lattice-index evaluation: i16 indices cross the host link (half
+        # the bytes of float coords — the link, not compute, bounds large
+        # adaptive exports); coordinates synthesize on device.
+        uvals = evaluator.eval_sdf_at_lattice(uidx, lo, cellsize)
         vals = uvals[inv].reshape(-1, 8)
         lt["corners"] = round(time.time() - t0, 3)
         t0 = time.time()
@@ -311,7 +311,9 @@ def extract_surface_adaptive(
                 skeys = key[scells].reshape(-1)
                 sukeys, sinv = np.unique(skeys, return_inverse=True)
                 spos = np.searchsorted(ukeys, sukeys)
-                snorms = evaluator.eval_normal_at_points(upts[spos])
+                snorms = evaluator.eval_normal_at_lattice(
+                    uidx[spos], lo, cellsize
+                )
                 norms = snorms[sinv].reshape(-1, 8, 3)
                 complex_cell = np.zeros_like(surface)
                 complex_cell[scells] = _edge_angles(norms) > threshold
