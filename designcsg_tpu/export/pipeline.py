@@ -227,8 +227,12 @@ def export_mesh(
     ships compacted (cell config, edge t) streams — the fewest bytes
     (export/compact.py), ``"dense"`` ships whole corner slabs, ``"adaptive"``
     runs the multi-resolution octree-equivalent (export/adaptive.py,
-    consuming min/max octree levels + complex_surface_threshold), ``"auto"``
-    picks active whenever the grid shape allows it.
+    consuming min/max octree levels + complex_surface_threshold).
+    ``"auto"`` follows the reference's behavior (its export is *always* the
+    adaptive octree, DesignCSG.cpp:717-758): adaptive whenever the config's
+    octree range is coherent (min < max <= grid_level) — note the fine
+    lattice is then 2^maximum_octree_level, exactly like the reference's
+    leaves — otherwise the uniform active/dense fast path.
     """
     config = export_config or scene.export_config or ExportConfig()
     evaluator = evaluator or BatchEvaluator(scene, sharded=sharded)
@@ -285,12 +289,19 @@ def export_mesh(
         key = hashlib.sha256()
         key.update(np.asarray(scene.arrays.tape).tobytes())
         key.update(np.asarray(scene.arrays.position).tobytes())
+        key.update(np.asarray(scene.arrays.right).tobytes())
+        key.update(np.asarray(scene.arrays.ad).tobytes())
         key.update(np.asarray(center).tobytes())
         key.update(np.float64(half).tobytes())
         key.update(np.int64(resolution).tobytes())
         # Slab payload schema differs per strategy; key shards by it.
         key.update(strategy.encode())
         key.update(np.int64(slab).tobytes())
+        # Adaptive consumes the octree knobs: a changed refinement config
+        # must invalidate shards (its canonical lattice depends on them).
+        key.update(np.int64(config.minimum_octree_level).tobytes())
+        key.update(np.int64(config.maximum_octree_level).tobytes())
+        key.update(np.float64(config.complex_surface_threshold).tobytes())
         digest = key.hexdigest()[:16]
         cache_path = os.path.join(resume_dir, f"extract_{digest}.npz")
         if os.path.exists(cache_path):

@@ -86,12 +86,18 @@ def scene_preludes(scene: CompiledScene):
     is passed to the kernels as an extra VMEM input and surfaces to the
     twin as ``ctx.extras[name]``.  Names must be unique per scene."""
     out = []
-    seen = set()
+    seen = {}
     for fn in scene.brush_fns:
         for name, pf in getattr(fn, "__kernel_prelude__", {}).items():
             if name in seen:
+                if seen[name] is not pf:
+                    raise ValueError(
+                        f"duplicate kernel-prelude name {name!r} with "
+                        f"different builders — prelude names must be unique "
+                        f"per scene (suffix them per brush instance)"
+                    )
                 continue
-            seen.add(name)
+            seen[name] = pf
             out.append((name, pf))
     return out
 

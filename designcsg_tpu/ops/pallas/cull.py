@@ -355,15 +355,15 @@ def worth_culling(scene: CompiledScene, gizmo: bool = False) -> bool:
     cull therefore stays opt-in (``cull=True`` / ``march_cull=True``); this
     predicate is exposed for diagnostics and for scenes with many expensive
     brushes spread apart, where per-tile pruning genuinely pays."""
-    from .brushes_kernel import KERNEL_BRUSHES
+    from .brushes_kernel import _twin_of
 
     culler = make_tape_culler(scene, gizmo=gizmo)
     if culler is None:
         return False
-    for i, fn in enumerate(scene.brush_fns):
+    for fn in scene.brush_fns:
         if INTERVAL_BRUSHES.get(fn) is None:
             continue
-        twin = KERNEL_BRUSHES.get(fn) or getattr(fn, "__kernel_twin__", None)
+        twin = _twin_of(fn)
         if twin is not None and _twin_cost(twin) >= 2 * _SOLO_COST:
             return True
     return False
@@ -392,7 +392,7 @@ def make_tape_culler(scene: CompiledScene, gizmo: bool = False):
         return None
     iv_twins = [INTERVAL_BRUSHES.get(fn) for fn in scene.brush_fns]
 
-    from .brushes_kernel import KERNEL_BRUSHES
+    from .brushes_kernel import _twin_of
 
     cost_cache: Dict[int, int] = {}
 
@@ -400,8 +400,7 @@ def make_tape_culler(scene: CompiledScene, gizmo: bool = False):
         if node.op == "gizmo":
             return 30
         if node.brush not in cost_cache:
-            fn = scene.brush_fns[node.brush]
-            twin = KERNEL_BRUSHES.get(fn) or getattr(fn, "__kernel_twin__", None)
+            twin = _twin_of(scene.brush_fns[node.brush])
             cost_cache[node.brush] = _twin_cost(twin) if twin else 10_000
         return cost_cache[node.brush]
 

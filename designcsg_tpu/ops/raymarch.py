@@ -574,9 +574,7 @@ def render_scene(
         camera = Camera.initial()
     if config is None:
         config = RenderConfig()
-    if getattr(config, "march_proxy", None) is not False and _has_safe_proxies(
-        scene
-    ):
+    if _compaction_eligible(scene, config):
         renderer = make_compacted_renderer(scene, config)
     else:
         renderer = jax.jit(make_renderer(scene, config))
@@ -627,16 +625,30 @@ def warn_if_not_lipschitz(
     """Run :func:`check_scene_lipschitz` and log a warning when the scene
     exceeds ``threshold`` — called by the approximate march builders
     (over-relax, cone prepass) so their safety assumptions are checked per
-    scene instead of silently assumed.  Cached per scene object."""
+    scene instead of silently assumed.  Cached by scene CONTENT (tape +
+    banks + arbitrary data), so repeated builds of the same design skip the
+    estimate while an edited design is re-checked (an id() key could alias
+    a recycled object to a stale estimate)."""
+    import hashlib
+
     from ..observability import logger
 
-    if id(scene) in _LIPSCHITZ_CACHE:
-        return _LIPSCHITZ_CACHE[id(scene)]
+    h = hashlib.sha1()
+    for a in (
+        scene.arrays.tape,
+        scene.arrays.position,
+        scene.arrays.right,
+        scene.arrays.ad,
+    ):
+        h.update(np.ascontiguousarray(np.asarray(a)).tobytes())
+    key = h.digest()
+    if key in _LIPSCHITZ_CACHE:
+        return _LIPSCHITZ_CACHE[key]
     try:
         est = check_scene_lipschitz(scene, samples=4096)
     except Exception:  # estimation must never break rendering
         return float("nan")
-    _LIPSCHITZ_CACHE[id(scene)] = est
+    _LIPSCHITZ_CACHE[key] = est
     if est > threshold:
         logger.warning(
             "%s: scene SDF Lipschitz estimate %.2f > 1 — the over-relax "
@@ -648,6 +660,19 @@ def warn_if_not_lipschitz(
             est,
         )
     return est
+
+
+def _compaction_eligible(scene: CompiledScene, config: RenderConfig) -> bool:
+    """The compacted proxy renderer applies only to plain forward renders:
+    it is host-orchestrated (not differentiable end-to-end) and builds the
+    hard-hit shading path, so differentiable/soft-silhouette configs and an
+    explicit ``march_proxy=False`` opt-out keep the jitted full renderer."""
+    return (
+        getattr(config, "march_proxy", None) is not False
+        and not config.differentiable
+        and config.soft_silhouette_bandwidth <= 0
+        and _has_safe_proxies(scene)
+    )
 
 
 def make_compacted_renderer(

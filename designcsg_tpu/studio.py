@@ -624,7 +624,24 @@ class StudioHandler(BaseHTTPRequestHandler):
         q = parse_qs(urlparse(self.path).query)
         return {k: v[0] for k, v in q.items()}
 
+    #: Routes that mutate state: POST-only (the CSRF gate runs on POST;
+    #: a GET dispatch would bypass it — e.g. a cross-origin <img> tag).
+    _MUTATING = frozenset(
+        {
+            "/api/new",
+            "/api/save",
+            "/api/delete",
+            "/api/run",
+            "/api/camera/orbit",
+            "/api/camera/zoom",
+            "/api/camera/reset",
+        }
+    )
+
     def _route(self, path: str, body: dict, method: str = "GET"):
+        if path in self._MUTATING and method != "POST":
+            self._json({"error": f"{path} requires POST"}, 405)
+            return
         s = self.session
         ws = s.workspace
         if path == "/":

@@ -268,3 +268,13 @@ def test_studio_bad_request_is_400(server):
     assert status == 400 and "name" in r["error"]
     status, r = c.json("POST", "/api/save", {"name": "x"})
     assert status == 400 and "text" in r["error"]
+
+
+def test_studio_mutating_routes_require_post(server):
+    """GET must not reach state-changing handlers (the CSRF gate runs on
+    POST only — a cross-origin <img src=...> would otherwise bypass it)."""
+    c = Client(server)
+    status, _, _ = c.call("GET", "/api/camera/reset")
+    assert status == 405
+    status, _, _ = c.call("GET", "/api/run")
+    assert status == 405
