@@ -277,21 +277,30 @@ def extract_surface_adaptive(
         lt = level_seconds[L] = {}
         t0 = time.time()
 
-        # 1. unique-corner evaluation (each lattice point once per level).
+        # 1. corner evaluation via lattice indices (i16 across the host
+        # link — half the bytes of float coords; the link, not compute,
+        # bounds large adaptive exports).  Below max level corners dedup
+        # (each lattice point once — the dedup feeds the normals subset
+        # too); at max level the np.unique over ~10M keys costs more host
+        # CPU than the ~1.6x upload it saves, so corners ship raw.
         corner_coords = cells[:, None, :] + CORNERS[None, :, :]  # [M, 8, 3]
-        key = (
-            corner_coords[..., 2].astype(np.int64) * r1 + corner_coords[..., 1]
-        ) * r1 + corner_coords[..., 0]
-        ukeys, inv = np.unique(key.reshape(-1), return_inverse=True)
-        kz = ukeys // (r1 * r1)
-        ky = (ukeys // r1) % r1
-        kx = ukeys % r1
-        uidx = np.stack([kx, ky, kz], axis=-1)
-        # Lattice-index evaluation: i16 indices cross the host link (half
-        # the bytes of float coords — the link, not compute, bounds large
-        # adaptive exports); coordinates synthesize on device.
-        uvals = evaluator.eval_sdf_at_lattice(uidx, lo, cellsize)
-        vals = uvals[inv].reshape(-1, 8)
+        if L == max_l:
+            key = ukeys = uidx = None
+            vals = evaluator.eval_sdf_at_lattice(
+                corner_coords.reshape(-1, 3), lo, cellsize
+            ).reshape(-1, 8)
+        else:
+            key = (
+                corner_coords[..., 2].astype(np.int64) * r1
+                + corner_coords[..., 1]
+            ) * r1 + corner_coords[..., 0]
+            ukeys, inv = np.unique(key.reshape(-1), return_inverse=True)
+            kz = ukeys // (r1 * r1)
+            ky = (ukeys // r1) % r1
+            kx = ukeys % r1
+            uidx = np.stack([kx, ky, kz], axis=-1)
+            uvals = evaluator.eval_sdf_at_lattice(uidx, lo, cellsize)
+            vals = uvals[inv].reshape(-1, 8)
         lt["corners"] = round(time.time() - t0, 3)
         t0 = time.time()
 
