@@ -171,6 +171,79 @@ class BatchEvaluator:
     def eval_normal_at_lattice(self, idx: np.ndarray, lo, cellsize) -> np.ndarray:
         return self._run_lattice("normal", idx, lo, cellsize, 3)
 
+    def _offsets_fn(self, which: str, offsets_key, offsets):
+        key = ("offsets", which, offsets_key)
+        if key not in self._refine_cache:
+            inner = self._sdf_raw if which == "sdf" else self._normal_raw
+            offs = jnp.asarray(np.asarray(offsets, np.float32))
+            k = offs.shape[0]
+
+            @jax.jit
+            def run(idx, lo, cell, arrays):
+                pts = (
+                    lo[None, None, :]
+                    + cell * (idx.astype(jnp.float32)[:, None, :] + offs[None])
+                )
+                out = inner(pts.reshape(-1, 3), arrays)
+                return out.reshape((idx.shape[0], k) + out.shape[1:])
+
+            self._refine_cache[key] = run
+        return self._refine_cache[key]
+
+    def _run_offsets(self, which, cells, lo, cellsize, offsets, out_dim):
+        """Evaluate at ``lo + cellsize * (cells[n] + offsets[k])`` for every
+        (cell, offset) pair, shipping only the compact cell indices — the
+        offset expansion happens ON DEVICE (the host link is ~20 MB/s; a
+        cell's 8 corners would otherwise cost 8x the bytes)."""
+        cells = np.ascontiguousarray(cells)
+        offsets = np.asarray(offsets)
+        K = offsets.shape[0]
+        if cells.size and (cells.max() > 32700 or cells.min() < -32700):
+            pts = (
+                np.asarray(lo)[None, None, :]
+                + cellsize * (cells[:, None, :] + offsets[None])
+            ).astype(np.float32)
+            flat = (
+                self.eval_sdf_at_points(pts.reshape(-1, 3))
+                if which == "sdf"
+                else self.eval_normal_at_points(pts.reshape(-1, 3))
+            )
+            return flat.reshape((cells.shape[0], K) + flat.shape[1:])
+        cost = 1 if which == "sdf" else self._normal_eval_cost
+        self.sdf_eval_count += cost * K * len(cells)
+        okey = (offsets.shape[0],) + tuple(offsets.reshape(-1).tolist())
+        fn = self._offsets_fn(which, okey, offsets)
+        lo32 = jnp.asarray(np.asarray(lo, np.float32))
+        cell32 = jnp.float32(cellsize)
+        n = cells.shape[0]
+        chunk_cells = max(1024, self.chunk_size // max(K, 1))
+        out_shape = (n, K) if out_dim == 1 else (n, K, out_dim)
+        out = np.empty(out_shape, dtype=np.float32)
+        cursor = 0
+        while cursor < n:
+            take = min(chunk_cells, n - cursor)
+            chunk = cells[cursor : cursor + take].astype(np.int16)
+            if take < chunk_cells:
+                padded = max(256, 1 << int(np.ceil(np.log2(take))))
+                chunk = np.pad(chunk, ((0, padded - take), (0, 0)))
+            result = np.asarray(
+                fn(jnp.asarray(chunk), lo32, cell32, self._device_arrays)
+            )
+            out[cursor : cursor + take] = result[:take]
+            cursor += take
+        return out
+
+    def eval_sdf_at_cell_corners(
+        self, cells: np.ndarray, lo, cellsize, offsets
+    ) -> np.ndarray:
+        """f32[N, K]: SDF at ``lo + cellsize*(cells[n] + offsets[k])``."""
+        return self._run_offsets("sdf", cells, lo, cellsize, offsets, 1)
+
+    def eval_normal_at_cell_corners(
+        self, cells: np.ndarray, lo, cellsize, offsets
+    ) -> np.ndarray:
+        return self._run_offsets("normal", cells, lo, cellsize, offsets, 3)
+
     def refine_on_device(
         self, vertices: np.ndarray, steps: int, step_scale: float = 1.0
     ) -> np.ndarray:

@@ -14,8 +14,10 @@ refinement *criteria* as a breadth-first level sweep over active cell sets —
 each level is one batched, device-evaluated wave instead of a pointer chase:
 
   level L = min_level .. max_level:
-    1. evaluate the SDF once per unique corner of the active cells (batched
-       through the evaluator; de-duplicated by lattice key);
+    1. evaluate the SDF at the active cells' corners, shipping only compact
+       i16 CELL indices to the device (the host link, not compute, is the
+       bottleneck; corners expand on device — see
+       BatchEvaluator.eval_sdf_at_cell_corners);
     2. classify every cell in one vectorized pass:
          - *surface cell*  : corner signs straddle zero;
          - *near cell*     : min |corner| <= sqrt(3)*cell*1.1 — the Lipschitz
@@ -277,30 +279,12 @@ def extract_surface_adaptive(
         lt = level_seconds[L] = {}
         t0 = time.time()
 
-        # 1. corner evaluation via lattice indices (i16 across the host
-        # link — half the bytes of float coords; the link, not compute,
-        # bounds large adaptive exports).  Below max level corners dedup
-        # (each lattice point once — the dedup feeds the normals subset
-        # too); at max level the np.unique over ~10M keys costs more host
-        # CPU than the ~1.6x upload it saves, so corners ship raw.
-        corner_coords = cells[:, None, :] + CORNERS[None, :, :]  # [M, 8, 3]
-        if L == max_l:
-            key = ukeys = uidx = None
-            vals = evaluator.eval_sdf_at_lattice(
-                corner_coords.reshape(-1, 3), lo, cellsize
-            ).reshape(-1, 8)
-        else:
-            key = (
-                corner_coords[..., 2].astype(np.int64) * r1
-                + corner_coords[..., 1]
-            ) * r1 + corner_coords[..., 0]
-            ukeys, inv = np.unique(key.reshape(-1), return_inverse=True)
-            kz = ukeys // (r1 * r1)
-            ky = (ukeys // r1) % r1
-            kx = ukeys % r1
-            uidx = np.stack([kx, ky, kz], axis=-1)
-            uvals = evaluator.eval_sdf_at_lattice(uidx, lo, cellsize)
-            vals = uvals[inv].reshape(-1, 8)
+        # 1. corner evaluation: ship only the compact CELL indices (i16);
+        # the 8-corner expansion happens on device (the ~20 MB/s host link,
+        # not compute, bounds large adaptive exports — shipping per-corner
+        # points costs 8x the bytes, and deduplicating them costs more host
+        # CPU in np.unique than the re-evaluation it saves on chip).
+        vals = evaluator.eval_sdf_at_cell_corners(cells, lo, cellsize, CORNERS)
         lt["corners"] = round(time.time() - t0, 3)
         t0 = time.time()
 
@@ -317,13 +301,9 @@ def extract_surface_adaptive(
                 # cells — the complexity test reads nothing else, and
                 # surface cells are a small fraction of the near-cull wave.
                 scells = np.nonzero(surface)[0]
-                skeys = key[scells].reshape(-1)
-                sukeys, sinv = np.unique(skeys, return_inverse=True)
-                spos = np.searchsorted(ukeys, sukeys)
-                snorms = evaluator.eval_normal_at_lattice(
-                    uidx[spos], lo, cellsize
+                norms = evaluator.eval_normal_at_cell_corners(
+                    cells[scells], lo, cellsize, CORNERS
                 )
-                norms = snorms[sinv].reshape(-1, 8, 3)
                 complex_cell = np.zeros_like(surface)
                 complex_cell[scells] = _edge_angles(norms) > threshold
             else:
