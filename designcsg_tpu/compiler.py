@@ -128,6 +128,19 @@ class SceneArrays:
         (positions/frames/ad) while keeping the integer structure."""
         return dataclasses.replace(self, **kwargs)
 
+    def content_digest(self) -> bytes:
+        """Digest of EVERY bank (any geometry-affecting change must change
+        it) — the shared key for resume shards and per-scene caches.  Do
+        not hand-pick fields at call sites: omitting a bank silently aliases
+        differently-shaped scenes (e.g. an orientation-only edit changes
+        only up/forward)."""
+        import hashlib
+
+        h = hashlib.sha256()
+        for leaf in self.tree_flatten()[0]:
+            h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+        return h.digest()
+
     def tree_flatten(self):
         children = (
             self.shape_id,

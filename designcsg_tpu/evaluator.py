@@ -83,25 +83,38 @@ class BatchEvaluator:
         self.arrays = arrays
         self._device_arrays = jax.tree_util.tree_map(jnp.asarray, arrays)
 
+    def _chunk_dispatch(self, data, chunk_size, call, out):
+        """Shared chunk loop for every streaming entry point: slice
+        ``data`` along axis 0 in ``chunk_size`` pieces, pad ragged tails to
+        the next power of two (>= 1024 — bounds the number of compiled
+        shapes to ~log2(chunk_size) while avoiding large padding waste),
+        dispatch ``call(chunk)`` and write the unpadded results into
+        ``out``."""
+        n = data.shape[0]
+        cursor = 0
+        while cursor < n:
+            take = min(chunk_size, n - cursor)
+            chunk = data[cursor : cursor + take]
+            if take < chunk_size:
+                padded = max(1024, 1 << int(np.ceil(np.log2(take))))
+                pad = ((0, padded - take),) + ((0, 0),) * (data.ndim - 1)
+                chunk = np.pad(chunk, pad)
+            result = np.asarray(call(chunk))
+            out[cursor : cursor + take] = result[:take]
+            cursor += take
+        return out
+
     def _run_chunked(self, fn, points: np.ndarray, out_dim: int) -> np.ndarray:
         pts = np.asarray(points, dtype=np.float32)
         n = pts.shape[0]
         out_shape = (n,) if out_dim == 1 else (n, out_dim)
         out = np.empty(out_shape, dtype=np.float32)
-        cursor = 0
-        while cursor < n:
-            take = min(self.chunk_size, n - cursor)
-            chunk = pts[cursor : cursor + take]
-            if take < self.chunk_size:
-                # Pad to the next power of two (>=1024) instead of the full
-                # chunk — bounds the number of compiled shapes to
-                # log2(chunk_size) while avoiding large padding waste.
-                padded = max(1024, 1 << int(np.ceil(np.log2(take))))
-                chunk = np.pad(chunk, ((0, padded - take), (0, 0)))
-            result = np.asarray(fn(jnp.asarray(chunk), self._device_arrays))
-            out[cursor : cursor + take] = result[:take]
-            cursor += take
-        return out
+        return self._chunk_dispatch(
+            pts,
+            self.chunk_size,
+            lambda chunk: fn(jnp.asarray(chunk), self._device_arrays),
+            out,
+        )
 
     def eval_sdf_at_points(self, points: np.ndarray) -> np.ndarray:
         """f32[N, 3] -> f32[N] (Evaluator.cpp:117-162 semantics)."""
@@ -150,19 +163,12 @@ class BatchEvaluator:
         n = idx.shape[0]
         out_shape = (n,) if out_dim == 1 else (n, out_dim)
         out = np.empty(out_shape, dtype=np.float32)
-        cursor = 0
-        while cursor < n:
-            take = min(self.chunk_size, n - cursor)
-            chunk = idx[cursor : cursor + take].astype(np.int16)
-            if take < self.chunk_size:
-                padded = max(1024, 1 << int(np.ceil(np.log2(take))))
-                chunk = np.pad(chunk, ((0, padded - take), (0, 0)))
-            result = np.asarray(
-                fn(jnp.asarray(chunk), lo32, cell32, self._device_arrays)
-            )
-            out[cursor : cursor + take] = result[:take]
-            cursor += take
-        return out
+        return self._chunk_dispatch(
+            idx.astype(np.int16),
+            self.chunk_size,
+            lambda chunk: fn(jnp.asarray(chunk), lo32, cell32, self._device_arrays),
+            out,
+        )
 
     def eval_sdf_at_lattice(self, idx: np.ndarray, lo, cellsize) -> np.ndarray:
         """SDF at ``lo + cellsize * idx`` for integer lattice ``idx[N, 3]``."""
@@ -219,19 +225,12 @@ class BatchEvaluator:
         chunk_cells = max(1024, self.chunk_size // max(K, 1))
         out_shape = (n, K) if out_dim == 1 else (n, K, out_dim)
         out = np.empty(out_shape, dtype=np.float32)
-        cursor = 0
-        while cursor < n:
-            take = min(chunk_cells, n - cursor)
-            chunk = cells[cursor : cursor + take].astype(np.int16)
-            if take < chunk_cells:
-                padded = max(256, 1 << int(np.ceil(np.log2(take))))
-                chunk = np.pad(chunk, ((0, padded - take), (0, 0)))
-            result = np.asarray(
-                fn(jnp.asarray(chunk), lo32, cell32, self._device_arrays)
-            )
-            out[cursor : cursor + take] = result[:take]
-            cursor += take
-        return out
+        return self._chunk_dispatch(
+            cells.astype(np.int16),
+            chunk_cells,
+            lambda chunk: fn(jnp.asarray(chunk), lo32, cell32, self._device_arrays),
+            out,
+        )
 
     def eval_sdf_at_cell_corners(
         self, cells: np.ndarray, lo, cellsize, offsets

@@ -287,10 +287,7 @@ def export_mesh(
     if resume_dir is not None:
         os.makedirs(resume_dir, exist_ok=True)
         key = hashlib.sha256()
-        key.update(np.asarray(scene.arrays.tape).tobytes())
-        key.update(np.asarray(scene.arrays.position).tobytes())
-        key.update(np.asarray(scene.arrays.right).tobytes())
-        key.update(np.asarray(scene.arrays.ad).tobytes())
+        key.update(scene.arrays.content_digest())
         key.update(np.asarray(center).tobytes())
         key.update(np.float64(half).tobytes())
         key.update(np.int64(resolution).tobytes())

@@ -629,19 +629,9 @@ def warn_if_not_lipschitz(
     banks + arbitrary data), so repeated builds of the same design skip the
     estimate while an edited design is re-checked (an id() key could alias
     a recycled object to a stale estimate)."""
-    import hashlib
-
     from ..observability import logger
 
-    h = hashlib.sha1()
-    for a in (
-        scene.arrays.tape,
-        scene.arrays.position,
-        scene.arrays.right,
-        scene.arrays.ad,
-    ):
-        h.update(np.ascontiguousarray(np.asarray(a)).tobytes())
-    key = h.digest()
+    key = scene.arrays.content_digest()
     if key in _LIPSCHITZ_CACHE:
         return _LIPSCHITZ_CACHE[key]
     try:

@@ -589,7 +589,11 @@ class StudioHandler(BaseHTTPRequestHandler):
             if urlparse(origin).netloc != host:
                 raise self._Reject(403, "cross-origin request rejected")
         token = self.headers.get("X-Studio-Token") or ""
-        if not secrets.compare_digest(token, self.session.token):
+        # bytes comparison: compare_digest raises TypeError on non-ASCII str
+        # (which would surface as a 500 + traceback instead of a 403)
+        if not secrets.compare_digest(
+            token.encode("utf-8", "replace"), self.session.token.encode()
+        ):
             raise self._Reject(403, "missing or invalid X-Studio-Token")
 
     def do_GET(self):
@@ -624,22 +628,17 @@ class StudioHandler(BaseHTTPRequestHandler):
         q = parse_qs(urlparse(self.path).query)
         return {k: v[0] for k, v in q.items()}
 
-    #: Routes that mutate state: POST-only (the CSRF gate runs on POST;
-    #: a GET dispatch would bypass it — e.g. a cross-origin <img> tag).
-    _MUTATING = frozenset(
-        {
-            "/api/new",
-            "/api/save",
-            "/api/delete",
-            "/api/run",
-            "/api/camera/orbit",
-            "/api/camera/zoom",
-            "/api/camera/reset",
-        }
+    #: The ONLY routes reachable via GET — everything else is POST-only so
+    #: the CSRF gate (which runs on POST) covers mutating routes by
+    #: DEFAULT: a newly added route cannot accidentally fail open to a
+    #: cross-origin <img>/<script> GET.
+    _GET_OK = frozenset(
+        {"/", "/render.png", "/api/designs", "/api/design", "/api/console",
+         "/api/export"}
     )
 
     def _route(self, path: str, body: dict, method: str = "GET"):
-        if path in self._MUTATING and method != "POST":
+        if method == "GET" and path not in self._GET_OK:
             self._json({"error": f"{path} requires POST"}, 405)
             return
         s = self.session

@@ -215,7 +215,9 @@ def _make_letter_brush(curve_start: int, n_curves: int, mask_start: int):
         chunks = aff.reshape(3, -1, CH).transpose(1, 0, 2)  # [nch, 3, CH]
 
         def chunk_min(m, Bc):
-            vals = jnp.einsum("...k,kc->...c", P, Bc)
+            vals = jnp.einsum(
+                "...k,kc->...c", P, Bc, precision=jax.lax.Precision.HIGHEST
+            )  # TPU matmuls default to bf16; the distance needs f32
             return jnp.minimum(m, vals.min(axis=-1)), None
 
         m0 = jnp.full(x.shape, big, dtype=x.dtype)
