@@ -107,7 +107,7 @@ def main():
 
             sc = designs.get_design(name)
             arr = as_device_arrays(sc.arrays)
-            reps = 3 if name == "logo" else 20
+            reps = 20
             if supports_scene(sc):
                 engine, factory = "pallas", make_pallas_renderer
                 bx, rx = time_render(
@@ -118,12 +118,11 @@ def main():
                     reps=reps,
                 )
             else:
-                # Reduction-style brushes (Logo's 3k-sample Bezier distance)
-                # are MXU workloads XLA fuses well but Mosaic's vector
-                # layouts cannot express efficiently (BASELINE.md roofline
-                # notes) — the proxy-prepass + ray-compaction XLA path IS
-                # their TPU fast path.  Host-orchestrated, so timed by wall
-                # clock over repeated calls.
+                # Scenes without kernel twins fall back to the
+                # proxy-prepass + ray-compaction XLA path (Logo rode this
+                # until round 4; its letter brushes now carry baked
+                # rank-factored field twins — designs/logo.py).
+                # Host-orchestrated, so timed by wall clock.
                 from designcsg_tpu.camera import Camera
                 from designcsg_tpu.ops.raymarch import make_compacted_renderer
 

@@ -1,0 +1,139 @@
+"""In-kernel sampling of baked 2D fields for Mosaic kernels.
+
+Mosaic's only per-element dynamic indexing primitive on TPU is
+``tpu.dynamic_gather`` within a *single vreg* along the gather dimension
+(measured on v5e, jax 0.9): 128 lanes for ``take_along_axis(..., axis=1)``,
+8 sublanes for ``axis=0``.  A per-element gather from a large 2D table is
+not expressible in two composed gathers (the inner gather's index must be
+invariant along the outer gather's axis), so dense 2D tables are out.
+
+What IS cheap is a per-element gather from a 128-entry 1D table: broadcast
+the table row across sublanes once (loop-invariant, hoisted out of the
+march loop) and lane-gather with the element's index — ~1 vector-op slot
+per gather (measured: lane gather ≈ fma cost).
+
+This module therefore samples *rank-factored* fields
+
+    b(x, y) ≈ sum_k u_k(x) * v_k(y)
+
+with each ``u_k``/``v_k`` a 128-entry 1D table sampled by lane gather +
+linear interpolation: ~9 vector ops per rank term per point, so a rank-32
+field costs ~300 op slots — the price of a mid-size closed-form SDF brush,
+vs the ~3000-sample reductions it replaces (designs/logo.py letter
+brushes), which Mosaic's vector layouts cannot express at all (BASELINE.md
+roofline, round 3).  The factors come from a *weighted* low-rank fit
+(designs/logo.py::_bake_letter_tables): accuracy is concentrated near the
+field's zero set, where march hits and normals live.
+
+No reference counterpart: the reference's OpenCL kernels index ``__global``
+arrays freely (k1.cl getAD); this is the TPU-native equivalent capability.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _gather_1d(row_bcast, idx):
+    """Per-element gather from a broadcast 1D table: ``row_bcast`` is the
+    (8, 128) sublane-broadcast of a 128-entry table, ``idx`` an (8, 128)
+    i32 plane of lane indices."""
+    return jnp.take_along_axis(row_bcast, idx, axis=1)
+
+
+def rank_table_sample(u_tbl, v_tbl, gx, gy):
+    """Evaluate ``sum_k u_k(gx) * v_k(gy)`` per element.
+
+    ``u_tbl``/``v_tbl``: f32[K, 128] — rank factors sampled on uniform
+    128-point grids over x and y.  ``gx``/``gy``: float grid coordinates
+    (0 .. 127) of any (8m, 128) plane shape; out-of-range coordinates
+    clamp, so callers handle out-of-domain semantics themselves (e.g. a
+    Lipschitz lower-bound correction).  Each rank term costs two lane
+    gathers per axis plus the interpolation arithmetic; the sublane
+    broadcasts of the factor rows are loop-invariant and hoist out of any
+    enclosing march loop."""
+    K = u_tbl.shape[0]
+    gx = jnp.clip(gx, 0.0, 126.999)
+    gy = jnp.clip(gy, 0.0, 126.999)
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    fx = gx - x0
+    fy = gy - y0
+    c0 = x0.astype(jnp.int32)
+    c1 = c0 + 1
+    r0 = y0.astype(jnp.int32)
+    r1 = r0 + 1
+
+    rows = gx.shape[0] if gx.ndim == 2 else None
+    if rows is None or rows % 8:
+        raise ValueError(
+            f"rank_table_sample wants (8m, 128)-shaped planes, got {gx.shape}"
+        )
+
+    def chunk(sl):
+        shape = (8, 128)
+        acc = jnp.zeros(shape, u_tbl.dtype)
+        for k in range(K):
+            u_row = jnp.broadcast_to(u_tbl[k : k + 1, :], shape)
+            v_row = jnp.broadcast_to(v_tbl[k : k + 1, :], shape)
+            u0 = _gather_1d(u_row, c0[sl])
+            u1 = _gather_1d(u_row, c1[sl])
+            v0 = _gather_1d(v_row, r0[sl])
+            v1 = _gather_1d(v_row, r1[sl])
+            uk = u0 + fx[sl] * (u1 - u0)
+            vk = v0 + fy[sl] * (v1 - v0)
+            acc = acc + uk * vk
+        return acc
+
+    if rows == 8:
+        return chunk(slice(None))
+    return jnp.concatenate(
+        [chunk(slice(i, i + 8)) for i in range(0, rows, 8)], axis=0
+    )
+
+
+def packed_rank_sample(tbl, gx, gy):
+    """Value+slope form of :func:`rank_table_sample` — 2 gathers per axis
+    per term with the interpolation as a single fma.
+
+    ``tbl``: f32[4K, 128] packing four (K, 128) blocks: x-factor values
+    ``UA``, x-factor forward-difference slopes ``US`` (``US[:, c] =
+    UA[:, c+1] - UA[:, c]``), y-factor values ``VA`` and slopes ``VS``.
+    Evaluates ``sum_k (UA_k + fx*US_k)(gx0) * (VA_k + fy*VS_k)(gy0)`` —
+    identical to per-axis linear interpolation of the factors."""
+    K = tbl.shape[0] // 4
+    ua, us = tbl[0:K], tbl[K : 2 * K]
+    va, vs = tbl[2 * K : 3 * K], tbl[3 * K : 4 * K]
+    gx = jnp.clip(gx, 0.0, 126.999)
+    gy = jnp.clip(gy, 0.0, 126.999)
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    fx = gx - x0
+    fy = gy - y0
+    c0 = x0.astype(jnp.int32)
+    r0 = y0.astype(jnp.int32)
+
+    rows = gx.shape[0] if gx.ndim == 2 else None
+    if rows is None or rows % 8:
+        raise ValueError(
+            f"packed_rank_sample wants (8m, 128)-shaped planes, got {gx.shape}"
+        )
+
+    def chunk(sl):
+        shape = (8, 128)
+        acc = jnp.zeros(shape, tbl.dtype)
+        for k in range(K):
+            ua_row = jnp.broadcast_to(ua[k : k + 1, :], shape)
+            us_row = jnp.broadcast_to(us[k : k + 1, :], shape)
+            va_row = jnp.broadcast_to(va[k : k + 1, :], shape)
+            vs_row = jnp.broadcast_to(vs[k : k + 1, :], shape)
+            uk = _gather_1d(ua_row, c0[sl]) + fx[sl] * _gather_1d(us_row, c0[sl])
+            vk = _gather_1d(va_row, r0[sl]) + fy[sl] * _gather_1d(vs_row, r0[sl])
+            acc = acc + uk * vk
+        return acc
+
+    if rows == 8:
+        return chunk(slice(None))
+    return jnp.concatenate(
+        [chunk(slice(i, i + 8)) for i in range(0, rows, 8)], axis=0
+    )

@@ -46,13 +46,16 @@ def _make_render_fn(scene: CompiledScene, config: RenderConfig, backend: str):
             backend = "jnp"
     if backend == "jnp":
         from .ops.raymarch import (
-            _has_safe_proxies,
+            _compaction_eligible,
             make_compacted_renderer,
             make_renderer,
         )
 
-        if _has_safe_proxies(scene):
-            # Logo-class scenes: proxy prepass + ray compaction (~3x).
+        if _compaction_eligible(scene, config):
+            # Logo-class scenes off-TPU: proxy prepass + ray compaction
+            # (~3x).  _compaction_eligible (not _has_safe_proxies) so a
+            # march_proxy=False opt-out and differentiable/soft-silhouette
+            # configs keep the jitted full renderer (ADVICE r3).
             render = make_compacted_renderer(scene, config)
         else:
             render = jax.jit(make_renderer(scene, config))

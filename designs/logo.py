@@ -30,6 +30,15 @@ LETTER_RESOLUTION = 64
 SUBSEGMENTS = 64
 THICKNESS = 0.075
 
+# Baked-field kernel twin parameters (see _bake_letter_tables): the letter
+# brush is z-extruded, so its expensive part is a static 2D field of the
+# glyph; a weighted rank-BAKE_RANK factorization over a BAKE_RES^2 grid
+# of [-BAKE_L, BAKE_L]^2 is what the Pallas march samples in-kernel.
+BAKE_RES = 128
+BAKE_RANK = 32
+BAKE_L = 1.4
+_BAKE_CACHE: dict = {}
+
 
 def _default_font() -> str:
     # The reference design's own font (CourierPrime-Bold, SIL OFL) when its
@@ -172,6 +181,192 @@ def _pack_bits(bits: np.ndarray) -> np.ndarray:
     return np.asarray(out, dtype=np.float32)
 
 
+def _curve_samples_np(segments) -> np.ndarray:
+    """The brush's Bezier sample points, in numpy (bake-time twin of the
+    jnp sampling in _make_letter_brush: same t grid, same decomposition)."""
+    t = (np.arange(SUBSEGMENTS, dtype=np.float64) / SUBSEGMENTS)[:, None]
+    pts = []
+    for (a, b, c) in segments:
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        c = np.asarray(c, np.float64)
+        pts.append((1 - t) * ((1 - t) * a + t * b) + t * ((1 - t) * b + t * c))
+    return np.concatenate(pts, axis=0)
+
+
+def _bake_field(samples: np.ndarray, bits: np.ndarray) -> np.ndarray:
+    """The continuous letter field b = sigma*d - thickness on the bake grid.
+
+    ``d`` is the brush's min distance to the Bezier samples; ``sigma`` is
+    the sign from the packed inside/outside bitmask with the brush's exact
+    lattice-snapping semantics (reference Logo.py:263-275).  Unlike the
+    brush's ``inside ? -d : d-thickness`` (which jumps by ``thickness``
+    across the outline), ``sigma*d - thickness`` is continuous and
+    1-Lipschitz with the SAME values everywhere the march can see (the
+    two differ only strictly inside the rendered solid), so it is the
+    right field to approximate."""
+    n, L, r = BAKE_RES, BAKE_L, LETTER_RESOLUTION
+    xs = np.linspace(-L, L, n)
+    X, Y = np.meshgrid(xs, xs, indexing="xy")
+    P = np.stack([X.ravel(), Y.ravel()], -1)
+    d2min = np.full(P.shape[0], np.inf)
+    for s0 in range(0, samples.shape[0], 512):
+        chunk = samples[s0 : s0 + 512]
+        d2 = ((P[:, None, :] - chunk[None, :, :]) ** 2).sum(-1)
+        d2min = np.minimum(d2min, d2.min(axis=1))
+    d = np.sqrt(d2min).reshape(n, n)
+    bits2 = bits.reshape(r + 1, r + 1)
+    qc = (r * (X + 1.0) / 2.0).astype(np.int64)  # trunc-toward-zero, as the brush
+    qr = r - (r * (Y + 1.0) / 2.0).astype(np.int64)
+    in_range = (qc >= 0) & (qc <= r) & (qr >= 0) & (qr <= r)
+    inside = in_range & (bits2[np.clip(qr, 0, r), np.clip(qc, 0, r)] == 1)
+    return np.where(inside, -d, d) - THICKNESS  # rows = y, cols = x
+
+
+def _weighted_lowrank(B: np.ndarray, K: int):
+    """Rank-K factorization B ~= Uy @ Vx, accuracy concentrated near the
+    zero set (where march hits, hit tests and FD normals live) by weighted
+    alternating least squares, with two safety guards re-weighted in:
+
+    * no phantom surfaces: where B is clearly positive the approximation
+      must stay clearly positive (an undershoot below the hit epsilon
+      would light pixels off the glyph);
+    * bounded overshoot: approx <= B + ~0.04 everywhere, so a march step
+      can land at most ~0.04 past the true safe distance — far below the
+      >=0.15 thickness of any letter feature, hence no tunneling (the
+      over-step lands epsilon-inside and still registers the hit)."""
+    near = np.abs(B) < 0.15
+    W = np.where(near, 1.0, 0.08)
+    U0, S0, Vt0 = np.linalg.svd(B)
+    Uy = U0[:, :K] * S0[:K]
+    Vx = Vt0[:K].copy()
+    eye = 1e-8 * np.eye(K)
+    for round_ in range(4):
+        for _ in range(8):
+            for i in range(B.shape[0]):
+                A = Vx * W[i][None, :]
+                Uy[i] = np.linalg.solve(A @ A.T + eye, A @ (B[i] * W[i]))
+            for j in range(B.shape[1]):
+                w = W[:, j]
+                A = Uy.T * w[None, :]
+                Vx[:, j] = np.linalg.solve(A @ A.T + eye, A @ (B[:, j] * w))
+        approx = Uy @ Vx
+        bad = (B > 0.1) & (approx < 0.06)
+        bad |= (approx - B) > 0.04
+        if not bad.any():
+            break
+        W[bad] = np.maximum(W[bad] * 8.0, 1.0)
+    return Uy, Vx
+
+
+def _bake_letter_tables(segments, bits) -> np.ndarray:
+    """Packed (4K, 128) f32 factor tables for the in-kernel sampler
+    (ops/pallas/table.py::packed_rank_sample): x-factor values UA and
+    forward-difference slopes US, then y-factor values VA and slopes VS.
+    Pure numpy at scene-build time (the factorization is a host-side
+    solve, not a per-frame device computation); cached by glyph content."""
+    import hashlib
+
+    samples = _curve_samples_np(segments)
+    key = hashlib.sha256(
+        b"".join(
+            [
+                samples.tobytes(),
+                bits.tobytes(),
+                np.float64([BAKE_RES, BAKE_RANK, BAKE_L, THICKNESS]).tobytes(),
+            ]
+        )
+    ).hexdigest()
+    if key in _BAKE_CACHE:
+        return _BAKE_CACHE[key]
+    B = _bake_field(samples, bits)
+    Uy, Vx = _weighted_lowrank(B, BAKE_RANK)
+    UA = Vx.astype(np.float32)  # x factors, (K, 128)
+    VA = Uy.T.astype(np.float32)  # y factors, (K, 128)
+    US = np.zeros_like(UA)
+    US[:, :-1] = UA[:, 1:] - UA[:, :-1]
+    VS = np.zeros_like(VA)
+    VS[:, :-1] = VA[:, 1:] - VA[:, :-1]
+    tbl = np.concatenate([UA, US, VA, VS], axis=0)
+    _BAKE_CACHE[key] = tbl
+    return tbl
+
+
+def _make_letter_twin(table_name: str):
+    """Component-wise Pallas twin of the letter brush: samples the baked
+    rank-factored field instead of reducing over ~3k Bezier samples (which
+    Mosaic's vector layouts cannot express — BASELINE.md roofline).  Values
+    match the jnp brush to the bake's near-surface tolerance (~7e-3 in
+    letter units, sub-pixel at the viewport) everywhere the march and
+    shading evaluate; the plate clip and slab stay exact."""
+    GS = (BAKE_RES - 1) / (2.0 * BAKE_L)
+
+    def twin(a, b, c, ctx):
+        from designcsg_tpu.ops.pallas.table import packed_rank_sample
+
+        x, y, z = 2.0 * a, 2.0 * b, 2.0 * c
+        gx = (x + BAKE_L) * GS
+        gy = (y + BAKE_L) * GS
+        bs = packed_rank_sample(ctx.extras[table_name], gx, gy)
+        # Beyond the bake domain the clamped sample is stale; the true
+        # sample distance is at least the distance to the domain rectangle
+        # (all Bezier samples lie inside it), a bound that grows linearly
+        # so far-field march steps stay long.
+        ex = jnp.maximum(jnp.abs(x) - BAKE_L, 0.0)
+        ey = jnp.maximum(jnp.abs(y) - BAKE_L, 0.0)
+        bs = jnp.maximum(bs, jnp.sqrt(ex * ex + ey * ey) - THICKNESS)
+        box = jnp.maximum(
+            jnp.abs(x) - 1.25, jnp.maximum(jnp.abs(y) - 1.25, jnp.abs(z) - 1.25)
+        )
+        slab = jnp.abs(z - 1.25) - 0.125
+        return jnp.maximum(jnp.maximum(bs, box), slab)
+
+    return twin
+
+
+def _register_letter_interval(letter_fn, samples: np.ndarray):
+    """Sound interval twin for the per-tile cull (ops/pallas/cull.py).
+
+    Lower bound: the brush is max(signed, box, slab) >= max(box, slab) —
+    exact Chebyshev distance to the plate, growing with distance (what
+    lets far tiles prune the letter).  Upper bound: signed <= d - thickness
+    <= |p2d - s_a| - thickness for any fixed curve sample s_a; min over a
+    spread of anchors keeps it usefully tight."""
+    from designcsg_tpu.ops.pallas import cull as _cull
+
+    step = max(1, samples.shape[0] // 12)
+    anchors = np.asarray(samples[::step][:12], np.float32)
+
+    def _iv(ia, ib, ic, ctx):
+        x2 = _cull.iv_mul_scalar(ia, 2.0)
+        y2 = _cull.iv_mul_scalar(ib, 2.0)
+        z2 = _cull.iv_mul_scalar(ic, 2.0)
+        box = _cull.iv_sub(
+            _cull.iv_max(
+                _cull.iv_abs(x2),
+                _cull.iv_max(_cull.iv_abs(y2), _cull.iv_abs(z2)),
+            ),
+            _cull.iv_const(1.25),
+        )
+        slab = _cull.iv_sub(
+            _cull.iv_abs(_cull.iv_sub(z2, _cull.iv_const(1.25))),
+            _cull.iv_const(0.125),
+        )
+        clip = _cull.iv_max(box, slab)
+        d_hi = None
+        for ax, ay in anchors:
+            dx = _cull.iv_sub(x2, _cull.iv_const(float(ax)))
+            dy = _cull.iv_sub(y2, _cull.iv_const(float(ay)))
+            hi = _cull.iv_sqrt(
+                _cull.iv_add(_cull.iv_square(dx), _cull.iv_square(dy))
+            )[1]
+            d_hi = hi if d_hi is None else jnp.minimum(d_hi, hi)
+        signed_hi = d_hi - THICKNESS
+        return (clip[0], jnp.maximum(signed_hi, clip[1]))
+
+    _cull.INTERVAL_BRUSHES[letter_fn] = _iv
+
+
 def _make_letter_brush(curve_start: int, n_curves: int, mask_start: int):
     """Brush reading curve data + bitmask from ctx.ad (the getAD path)."""
     r = LETTER_RESOLUTION
@@ -267,7 +462,7 @@ def _make_letter_brush(curve_start: int, n_curves: int, mask_start: int):
     return letter_fn
 
 
-def _letter_component(c, font, letter: str, transform):
+def _letter_component(c, font, letter: str, transform, index: int):
     segments, bits = _glyph_segments_and_mask(font, letter)
     curvedata = []
     for (a, b, cc) in segments:
@@ -277,10 +472,23 @@ def _letter_component(c, font, letter: str, transform):
     mask_start = c.add_arbitrary_data(f"LETTER_OFFS_{letter}", _pack_bits(bits))
     c.add_arbitrary_data(f"NUMCURVES_{letter}", [float(len(segments))])
     curve_start = c.add_arbitrary_data(f"CURVEDATA_{letter}", curvedata)
-    brush = c.define_brush(
-        _make_letter_brush(curve_start, len(segments), mask_start),
-        name=f"letter_{letter}",
-    )
+    letter_fn = _make_letter_brush(curve_start, len(segments), mask_start)
+
+    # Pallas fast path: a baked rank-factored field of THIS glyph, sampled
+    # in-kernel (see _bake_letter_tables).  The bake happens here at build
+    # time from the same concrete curve/bitmask data the AD is packed from;
+    # an edited design rebuilds the scene and hence re-bakes.  The jnp
+    # brush above stays the exact/differentiable reference (export
+    # refinement and fit gradients never see the tables).
+    table = _bake_letter_tables(segments, bits)
+    table_name = f"logo_{index}_{letter}"
+    letter_fn.__kernel_prelude__ = {
+        table_name: lambda arrays, _t=table: jnp.asarray(_t)
+    }
+    letter_fn.__kernel_twin__ = _make_letter_twin(table_name)
+    _register_letter_interval(letter_fn, _curve_samples_np(segments))
+
+    brush = c.define_brush(letter_fn, name=f"letter_{letter}")
     return api.Component(brush, transform=transform, compiler=c)
 
 
@@ -299,8 +507,8 @@ def build(compiler=None, font_path: Optional[str] = None, letters: str = "CSG"):
         Transform.axes(zee, -eks, why),
     ]
     components = [
-        _letter_component(c, font, letter, frame)
-        for letter, frame in zip(letters, frames)
+        _letter_component(c, font, letter, frame, i)
+        for i, (letter, frame) in enumerate(zip(letters, frames))
     ]
     api.drawUnion(*components, compiler=c)
     return c.commit()
