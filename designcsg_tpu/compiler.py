@@ -138,7 +138,14 @@ class SceneArrays:
 
         h = hashlib.sha256()
         for leaf in self.tree_flatten()[0]:
-            h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+            arr = np.ascontiguousarray(np.asarray(leaf))
+            # Frame each leaf with dtype + shape so concatenated bank bytes
+            # cannot alias across different leaf boundaries (ADVICE r3 —
+            # e.g. a different object count vs ad length with identical
+            # raw bytes must produce a different key).
+            h.update(arr.dtype.str.encode())
+            h.update(np.asarray(arr.shape, np.int64).tobytes())
+            h.update(arr.tobytes())
         return h.digest()
 
     def tree_flatten(self):

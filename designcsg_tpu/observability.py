@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import contextlib
 import logging
+import os
 import sys
 import time
 from dataclasses import dataclass, field
@@ -89,6 +90,22 @@ class ExportMonitor:
         extractors as slabs/levels complete)."""
         self._stats = stats
 
+    @staticmethod
+    def _rss_mb() -> Optional[float]:
+        """Resident set size in MB from /proc/self/statm — the reference's
+        monitor thread shows process memory every 100 ms during export
+        (DesignCSG.cpp:852-894 via psutil)."""
+        try:
+            with open("/proc/self/statm") as f:
+                rss_pages = int(f.read().split()[1])
+            return rss_pages * os.sysconf("SC_PAGE_SIZE") / 1e6
+        except (OSError, ValueError, IndexError):
+            return None
+
+    def _mem_suffix(self) -> str:
+        rss = self._rss_mb()
+        return f" rss {rss:6.0f}MB" if rss is not None else ""
+
     def _count_suffix(self) -> str:
         if not self._stats:
             return ""
@@ -113,7 +130,7 @@ class ExportMonitor:
         bar = "#" * bar_n + "-" * (30 - bar_n)
         self._out.write(
             f"\r[{elapsed:7.1f}s] {stage:<26s} [{bar}] {frac*100:5.1f}%"
-            f"{self._count_suffix()}"
+            f"{self._count_suffix()}{self._mem_suffix()}"
         )
         if frac >= 1.0:
             self._out.write("\n")

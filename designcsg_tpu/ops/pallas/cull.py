@@ -141,6 +141,65 @@ def register_interval_brush(original_fn: Callable):
     return deco
 
 
+def verify_interval_twin(
+    original_fn: Callable,
+    radius: float = 4.0,
+    n_boxes: int = 256,
+    samples_per_box: int = 64,
+    ctx=None,
+    seed: int = 0,
+) -> float:
+    """Sampled soundness check of a brush's registered interval twin.
+
+    Draws random boxes in local coordinates, evaluates the pointwise brush
+    on samples inside each box, and measures how far any sample escapes the
+    twin's (lo, hi) interval.  Returns the max violation (0.0 when every
+    sampled value is enclosed) — a sampled check can only *find* unsound
+    constants, not prove soundness, but it is exactly the guard ADVICE r3
+    asked for: an underestimated ``lipschitz``/``enclosure_radius`` in
+    :func:`register_lipschitz_interval` silently breaks the cull's
+    exactness claim, and this catches it the same way the Lipschitz
+    estimator catches non-distance brushes.  Run it from tests for every
+    registered twin (tests/test_pallas.py)."""
+    from ...brushes import EvalContext
+
+    twin = INTERVAL_BRUSHES.get(original_fn)
+    if twin is None:
+        raise KeyError(f"no interval twin registered for {original_fn}")
+    if ctx is None:
+        ctx = EvalContext()
+    rng = np.random.default_rng(seed)
+    lo = rng.uniform(-radius, radius, size=(n_boxes, 3))
+    size = rng.uniform(0.0, radius, size=(n_boxes, 3)) * rng.uniform(
+        0.02, 1.0, size=(n_boxes, 1)
+    )
+    hi = lo + size
+    worst = 0.0
+    for b in range(n_boxes):
+        pts = rng.uniform(lo[b], hi[b], size=(samples_per_box, 3)).astype(
+            np.float32
+        )
+        # include the corners — extrema often live there
+        corner_pts = np.array(
+            [
+                [x, y, z]
+                for x in (lo[b][0], hi[b][0])
+                for y in (lo[b][1], hi[b][1])
+                for z in (lo[b][2], hi[b][2])
+            ],
+            dtype=np.float32,
+        )
+        pts = np.concatenate([pts, corner_pts], axis=0)
+        vals = np.asarray(original_fn(jnp.asarray(pts), ctx))
+        ivx = (jnp.float32(lo[b][0]), jnp.float32(hi[b][0]))
+        ivy = (jnp.float32(lo[b][1]), jnp.float32(hi[b][1]))
+        ivz = (jnp.float32(lo[b][2]), jnp.float32(hi[b][2]))
+        tlo, thi = twin(ivx, ivy, ivz, ctx)
+        tlo, thi = float(tlo), float(thi)
+        worst = max(worst, tlo - float(vals.min()), float(vals.max()) - thi)
+    return worst
+
+
 @register_interval_brush(_b.empty_brush_fn)
 def _empty_iv(ia, ib, ic, ctx):
     return iv_const(MAX_DISTANCE)
@@ -194,7 +253,9 @@ def register_lipschitz_interval(
     ``sdf(p) >= ||p - p0||∞ - R`` everywhere (true for min/max folds of
     Chebyshev boxes and of Euclidean primitives with R covering the solid's
     L∞ extent about the anchor).  Underestimates silently break the cull's
-    exactness."""
+    exactness — fuzz every registration with :func:`verify_interval_twin`
+    (random boxes vs the pointwise brush) from a test, as
+    tests/test_pallas.py does for the shipped designs."""
     from ...brushes import EvalContext
 
     p0 = np.asarray(anchor, np.float32)

@@ -466,8 +466,21 @@ def make_pallas_renderer(
             o3 = (ox, oy, oz)
             seg = (jnp.min(d0), jnp.float32(max_d))
             box = ray_box(o3, r_ivs, seg)
-            # The post-loop FD normals probe ±normal_epsilon off hit points.
-            box = tuple((lo - n_eps, hi + n_eps) for lo, hi in box)
+            # Two inflations keep the box a true invariant of every point
+            # the loop evaluates: the post-loop FD normals probe
+            # ±normal_epsilon off hit points, and the marched positions are
+            # ACCUMULATED (v += s*r, up to max_steps times) rather than
+            # recomputed as o + d*r, so float drift vs the exact ray point
+            # grows like max_steps * ulp * |v| (ADVICE r3: without this the
+            # fixed relative pad slack in cull.pad can be outrun on long
+            # marches at box boundaries).
+            drift = float(max_steps) * 1.5e-7
+
+            def _inflate(lo, hi):
+                s = n_eps + drift * (jnp.abs(lo) + jnp.abs(hi) + 1.0)
+                return (lo - s, hi + s)
+
+            box = tuple(_inflate(lo, hi) for lo, hi in box)
             preds, substs = culler(box, bank, ctx)
             cone_cull = (culler.groups, preds, substs)
         else:

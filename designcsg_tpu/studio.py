@@ -185,26 +185,19 @@ class StudioSession:
             import jax
 
             backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        self.backend = backend
+        self._width, self._height = width, height
         # The studio viewport is the interactive surface (the reference
-        # free-runs its 640x480 pane): on the Pallas path use the
+        # free-runs its 640x480 pane): on the Pallas path default to the
         # hit-preserving fast march (over-relax + cone prepass when the
         # viewport tiles allow it — 123.9 Mrays/s vs 74.4 exact on v5e).
-        # Exports are unaffected (the export pipeline is exact-semantics).
-        fast = backend == "pallas"
-        hier = (
-            fast
-            and width % 5 == 0
-            and height % 5 == 0
-            and width % 32 == 0
-            and height % 32 == 0
-        )
-        self.config = RenderConfig(
-            width=width,
-            height=height,
-            march_overrelax=1.6 if fast else 1.0,
-            march_hierarchical=hier,
-        )
-        self.backend = backend
+        # Exports are unaffected (the export pipeline is exact-semantics),
+        # and set_render_mode(exact=True) switches the viewport to exact k1
+        # semantics so what you see is what the export refines (ADVICE r3:
+        # the approximate modes can drop thin/far features per config.py's
+        # safety contract — the toggle is the opt-out).
+        self.exact_render = False
+        self.config = self._viewport_config(exact=False)
         self.camera = Camera.initial()
         self.scene: Optional[CompiledScene] = None
         self._render_fn = None
@@ -281,6 +274,36 @@ class StudioSession:
         if ok:
             self.workspace.set_last(name)
         return ok
+
+    def _viewport_config(self, exact: bool) -> RenderConfig:
+        fast = (not exact) and self.backend == "pallas"
+        width, height = self._width, self._height
+        hier = (
+            fast
+            and width % 5 == 0
+            and height % 5 == 0
+            and width % 32 == 0
+            and height % 32 == 0
+        )
+        return RenderConfig(
+            width=width,
+            height=height,
+            march_overrelax=1.6 if fast else 1.0,
+            march_hierarchical=hier,
+        )
+
+    def set_render_mode(self, exact: bool) -> None:
+        """Switch the viewport between the fast hit-preserving march and
+        exact k1 semantics; rebuilds the renderer for the live scene."""
+        exact = bool(exact)
+        if exact == self.exact_render:
+            return
+        self.exact_render = exact
+        self.config = self._viewport_config(exact)
+        if self.scene is not None:
+            self._build_renderer()
+        with self._lock:
+            self._frame = None
 
     def _build_renderer(self):
         from .viewer import _make_render_fn
@@ -449,6 +472,9 @@ PAGE_HTML = """<!doctype html>
  <button onclick="run()" style="background:#2f5e33">Run ▶</button>
  <button onclick="doExport()">Export STL</button>
  <button onclick="api('/api/camera/reset',{}).then(refresh)">Reset view</button>
+ <label style="color:#8b93a3"><input type="checkbox" id="exact"
+  onchange="api('/api/render_mode',{exact:this.checked}).then(refresh)">
+  exact march</label>
 </div>
 <div id="editorwrap">
  <div id="tabs">
@@ -696,6 +722,11 @@ class StudioHandler(BaseHTTPRequestHandler):
         elif path == "/api/camera/reset":
             s.reset_camera()
             self._json({"ok": True})
+        elif path == "/api/render_mode":
+            # POST-only (CSRF-gated): {"exact": true} switches the viewport
+            # to exact k1 semantics; false restores the fast march.
+            s.set_render_mode(bool(body.get("exact")))
+            self._json({"ok": True, "exact": s.exact_render})
         elif path == "/api/export":
             # POST starts an export; GET polls its status.
             if method == "POST":

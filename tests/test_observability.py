@@ -20,6 +20,9 @@ def test_export_monitor_renders_progress_and_histogram():
     text = out.getvalue()
     assert "EXTRACTING_SURFACE" in text
     assert "800 tris" in text  # live triangle total from the telemetry dict
+    # process memory readout, as the reference's 100ms monitor thread
+    # displays during export (DesignCSG.cpp:852-894)
+    assert "rss" in text and "MB" in text
     hist = mon.render_histogram()
     assert "level" in hist
     for level, count in [(5, 120), (6, 40), (7, 640)]:

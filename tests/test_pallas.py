@@ -31,6 +31,11 @@ def design2():
     return designs.get_design("design2")
 
 
+@pytest.fixture(scope="module")
+def logo():
+    return designs.get_design("logo")
+
+
 def test_supports_scene(design1, design2):
     assert supports_scene(design1)
     assert supports_scene(design2)
@@ -385,6 +390,29 @@ def test_tape_culler_exact_on_boxes(design1):
         # renderer-level test above asserts bit-equality.
         np.testing.assert_allclose(culled, full, atol=1e-6, rtol=0)
     assert pruned_any, "no box pruned any group — cull never engages"
+
+
+def test_interval_twins_sound_by_fuzzing(design2, logo):
+    """Fuzz every registered interval twin the shipped designs use (random
+    boxes vs the pointwise brush — cull.verify_interval_twin): an
+    underestimated lipschitz/enclosure constant would silently break the
+    cull's exactness claim (ADVICE r3)."""
+    from designcsg_tpu.brushes import EvalContext
+    from designcsg_tpu.ops.pallas.cull import INTERVAL_BRUSHES, verify_interval_twin
+
+    checked = 0
+    for scene in (design2, logo):
+        ctx = EvalContext(ad=jnp.asarray(scene.arrays.ad))
+        for fn in scene.brush_fns:
+            if fn not in INTERVAL_BRUSHES:
+                continue
+            worst = verify_interval_twin(
+                fn, radius=3.0, n_boxes=96, samples_per_box=32, ctx=ctx
+            )
+            name = getattr(fn, "__name__", str(fn))
+            assert worst <= 1e-5, f"{name}: interval twin violated by {worst}"
+            checked += 1
+    assert checked >= 5  # hilbert + base + three letter brushes
 
 
 def test_closure_brush_twin_with_prelude():

@@ -221,6 +221,28 @@ def test_studio_export_ui_contract(server):
     assert os.path.exists(r["stl"])
 
 
+def test_studio_exact_render_toggle(server):
+    """ADVICE r3: the studio viewport must offer exact k1 semantics — the
+    fast default (over-relax + cone prepass) can drop thin/far features per
+    config.py's safety contract, and the user needs the opt-out."""
+    client = Client(server)
+    session = server.session
+    assert session.exact_render is False
+    status, body = client.json("POST", "/api/render_mode", {"exact": True})
+    assert status == 200 and body["exact"] is True
+    assert session.exact_render is True
+    assert float(session.config.march_overrelax) == 1.0
+    assert not session.config.march_hierarchical
+    # GET must not mutate (the route is POST-only, CSRF-gated)
+    status, _ = client.json("GET", "/api/render_mode")
+    assert status == 405
+    # the UI exposes the toggle
+    status, _, page = client.get("/")
+    assert b"exact march" in page
+    status, body = client.json("POST", "/api/render_mode", {"exact": False})
+    assert status == 200 and session.exact_render is False
+
+
 def test_studio_run_nothing(server):
     """Run with no design open and no text is a clean error, not a silent
     empty-scene swap."""
