@@ -86,7 +86,7 @@ try:  # pragma: no cover - best effort
 except Exception:
     pass
 
-from . import api, brushes, compiler, constants, scene, transforms  # noqa: F401
+from . import api, brushes, compiler, constants, pose, scene, transforms  # noqa: F401
 from .brushes import Brush, EvalContext, Material  # noqa: F401
 from .compiler import (  # noqa: F401
     CompiledScene,

@@ -40,9 +40,12 @@ class FitState(NamedTuple):
 
 def default_param_to_arrays(scene: CompiledScene) -> Callable:
     """Default reparameterization: params = {"position": f32[N,3]} swapped
-    into the object banks.  Users supply their own mapping for richer
-    parameterizations (pose angles, scales via transforms_jax, arbitrary
-    data)."""
+    into the object banks.  For full pose-space fitting — positions, euler
+    angles, and per-axis scales flowing through the transform algebra —
+    pass :func:`designcsg_tpu.pose.pose_param_to_arrays(scene)` instead
+    (tests/test_pose.py demonstrates rotation+scale recovery with it,
+    single-device and mesh-sharded); arbitrary-data parameterizations swap
+    ``ad`` the same way."""
 
     def param_to_arrays(params) -> SceneArrays:
         return scene.arrays.replace(**params)

@@ -1,0 +1,129 @@
+"""Pose-space differentiable scene compile (designcsg_tpu/pose.py).
+
+SURVEY §7.2 step 7 / VERDICT r3 weak #4: the object banks as a traced
+function of a {position, yaw, pitch, roll, scale} pytree — rotations and
+scales flow through the transform algebra (transforms.py, xp=jnp) including
+reciprocal_vector through non-uniform scales.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import designs
+from designcsg_tpu.camera import Camera
+from designcsg_tpu.config import RenderConfig
+from designcsg_tpu.ops.interpreter import make_primary_sdf
+from designcsg_tpu.parallel.fit import make_fit_harness
+from designcsg_tpu.pose import make_pose_to_arrays, pose_params
+
+
+@pytest.fixture(scope="module")
+def design1():
+    return designs.get_design("design1")
+
+
+@pytest.mark.parametrize("name", ["design1", "design2", "logo"])
+def test_pose_roundtrip_reproduces_banks(name):
+    """pose_params -> pose_to_arrays reproduces every bank for the shipped
+    designs — including Logo's mirrored Transform.axes frames (det < 0,
+    decomposed as a rotation with a negated z scale)."""
+    scene = designs.get_design(name)
+    params = pose_params(scene)
+    arrays = make_pose_to_arrays(scene)(params)
+    for bank in ("position", "right", "up", "forward"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(arrays, bank)),
+            np.asarray(getattr(scene.arrays, bank)),
+            atol=2e-6,
+            err_msg=f"{name}.{bank}",
+        )
+
+
+def test_pose_gradients_reach_all_dofs(design1):
+    """d(sdf)/d(pose) is finite and nonzero for positions, every euler
+    angle, and every scale axis — the claim 'banks as a traced function of
+    a pose pytree' is only true if gradients actually flow."""
+    params = {
+        k: jnp.asarray(v, jnp.float32) for k, v in pose_params(design1).items()
+    }
+    to_arrays = make_pose_to_arrays(design1)
+    sdf = make_primary_sdf(design1)
+    pts = jnp.asarray(
+        np.random.default_rng(0).uniform(-1.5, 1.5, (128, 3)), jnp.float32
+    )
+
+    def loss(p):
+        return jnp.sum(sdf(pts, to_arrays(p)) ** 2)
+
+    g = jax.grad(loss)(params)
+    for key in ("position", "yaw", "pitch", "roll", "scale"):
+        arr = np.asarray(g[key])
+        assert np.isfinite(arr).all(), key
+        # the perturbable (non-root) objects must receive signal
+        assert np.abs(arr[1:]).sum() > 0, key
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_fit_recovers_rotation_and_scale(design1, use_mesh):
+    """End-to-end pose-space fit on Design1: perturb the box's yaw and the
+    sphere's uniform scale, recover both from the geometric pixel loss —
+    single-device and sharded over the 8-virtual-device mesh.
+
+    The fit parameters are exactly the two perturbed pose DOFs, routed
+    through the full traced pose -> transform -> reciprocal-banks chain
+    (the point of this test); fitting all 55 pose DOFs from one 64x48 view
+    is under-constrained (a rotated anisotropic ellipsoid reproduces the
+    target to ~4e-4 loss), which is an identifiability property of the
+    problem, not of the parameterization."""
+    config = RenderConfig(
+        width=64,
+        height=48,
+        max_steps=128,
+        differentiable=True,
+        soft_silhouette_bandwidth=0.02,
+        gizmo=False,
+    )
+    campos, rgt, upp, fwd = Camera.initial().as_arrays()
+    true_pose = {
+        k: jnp.asarray(v, jnp.float32)
+        for k, v in pose_params(design1).items()
+    }
+    full_to_arrays = make_pose_to_arrays(design1)
+
+    def param_to_arrays(params):
+        pose = dict(true_pose)
+        pose["yaw"] = true_pose["yaw"].at[2].set(params["box_yaw"])
+        pose["scale"] = true_pose["scale"].at[1].set(
+            params["sphere_scale"] * jnp.ones(3, jnp.float32)
+        )
+        return full_to_arrays(pose)
+
+    harness = make_fit_harness(
+        design1,
+        config,
+        param_to_arrays=param_to_arrays,
+        optimizer=optax.adam(2e-2),
+        use_mesh=use_mesh,
+    )
+    target = harness.render_target(design1.arrays, campos, rgt, upp, fwd)
+    true_yaw = float(true_pose["yaw"][2])
+    true_scale = float(true_pose["scale"][1][0])
+    state = harness.init(
+        {
+            "box_yaw": jnp.float32(true_yaw + 0.25),
+            "sphere_scale": jnp.float32(true_scale * 0.85),
+        }
+    )
+    loss0 = float(harness.loss_fn(state.params, target, campos, rgt, upp, fwd))
+    for _ in range(120):
+        state, loss = harness.step_fn(state, target, campos, rgt, upp, fwd)
+    assert float(loss) < loss0 * 0.05, (loss0, float(loss))
+    dy = float(state.params["box_yaw"]) - true_yaw
+    # the box is 4-fold symmetric about y: assert modulo pi/2
+    dy_mod = min(abs(dy) % (np.pi / 2), np.pi / 2 - abs(dy) % (np.pi / 2))
+    assert dy_mod < 0.03, dy
+    scale_err = abs(float(state.params["sphere_scale"]) - true_scale)
+    assert scale_err < 0.05 * true_scale, scale_err
