@@ -78,6 +78,7 @@ def main():
 
     config = RenderConfig(march_overrelax=1.6)
     best, rays_per_s = time_render(config)
+    march_mode = "overrelax1.6"
     log(f"march (overrelax 1.6): {best*1e3:.3f} ms/frame -> {rays_per_s/1e6:.1f} Mrays/s")
     try:
         hconfig = RenderConfig(march_overrelax=1.6, march_hierarchical=True)
@@ -88,12 +89,15 @@ def main():
         )
         if rh > rays_per_s:
             best, rays_per_s = bh, rh
+            march_mode = "hierarchical+overrelax1.6"
     except Exception as e:
         log("hierarchical bench failed:", e)
     # Secondary: exact reference-march semantics (omega = 1; march_unroll
     # amortizes the loop-exit reduction but is bit-identical).
+    exact_rays_per_s = None
     try:
         b2, r2 = time_render(RenderConfig())
+        exact_rays_per_s = r2
         log(f"march (exact k1 semantics): {b2*1e3:.3f} ms/frame -> {r2/1e6:.1f} Mrays/s")
     except Exception as e:
         log("exact-march bench failed:", e)
@@ -223,21 +227,23 @@ def main():
         log("grid eval failed:", e)
 
     baseline_rays_per_s = 640 * 480 * 30.0  # reference viewport @ 30 FPS
-    print(
-        json.dumps(
-            {
-                "metric": "design1_sphere_trace_rays_per_s_chip",
-                "value": round(rays_per_s),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_s / baseline_rays_per_s, 2),
-                "baseline_note": (
-                    "reference publishes no numbers; vs_baseline ASSUMES its "
-                    "640x480 viewport free-runs at 30 FPS (9.2 Mrays/s) on "
-                    "the recommended GTX/RTX-class GPU (BASELINE.md)"
-                ),
-            }
-        )
-    )
+    payload = {
+        # The mode is IN the metric name (VERDICT r3 weak #5): the headline
+        # rides the hit-preserving approximate march; exact k1 semantics is
+        # disclosed alongside, captured by the same harness in this run.
+        "metric": f"design1_sphere_trace_rays_per_s_chip[{march_mode}]",
+        "value": round(rays_per_s),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / baseline_rays_per_s, 2),
+        "baseline_note": (
+            "reference publishes no numbers; vs_baseline ASSUMES its "
+            "640x480 viewport free-runs at 30 FPS (9.2 Mrays/s) on "
+            "the recommended GTX/RTX-class GPU (BASELINE.md)"
+        ),
+    }
+    if exact_rays_per_s is not None:
+        payload["exact_k1_rays_per_s"] = round(exact_rays_per_s)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -174,30 +174,41 @@ def verify_interval_twin(
         0.02, 1.0, size=(n_boxes, 1)
     )
     hi = lo + size
-    worst = 0.0
-    for b in range(n_boxes):
-        pts = rng.uniform(lo[b], hi[b], size=(samples_per_box, 3)).astype(
-            np.float32
-        )
-        # include the corners — extrema often live there
-        corner_pts = np.array(
-            [
-                [x, y, z]
-                for x in (lo[b][0], hi[b][0])
-                for y in (lo[b][1], hi[b][1])
-                for z in (lo[b][2], hi[b][2])
-            ],
-            dtype=np.float32,
-        )
-        pts = np.concatenate([pts, corner_pts], axis=0)
-        vals = np.asarray(original_fn(jnp.asarray(pts), ctx))
-        ivx = (jnp.float32(lo[b][0]), jnp.float32(hi[b][0]))
-        ivy = (jnp.float32(lo[b][1]), jnp.float32(hi[b][1]))
-        ivz = (jnp.float32(lo[b][2]), jnp.float32(hi[b][2]))
-        tlo, thi = twin(ivx, ivy, ivz, ctx)
-        tlo, thi = float(tlo), float(thi)
-        worst = max(worst, tlo - float(vals.min()), float(vals.max()) - thi)
-    return worst
+    # random interior samples + the 8 corners per box (extrema often live
+    # on corners), evaluated in ONE batched brush call; the interval twin
+    # evaluates once with ARRAY endpoints — the iv_* ops are elementwise
+    # jnp, so (lo[B], hi[B]) tuples vectorize over boxes for free.
+    k = samples_per_box
+    u = rng.random((n_boxes, k, 3))
+    pts = lo[:, None, :] + u * size[:, None, :]
+    corners = np.stack(
+        [
+            np.stack(
+                [
+                    np.where(i & 1, hi[:, 0], lo[:, 0]),
+                    np.where(i & 2, hi[:, 1], lo[:, 1]),
+                    np.where(i & 4, hi[:, 2], lo[:, 2]),
+                ],
+                axis=-1,
+            )
+            for i in range(8)
+        ],
+        axis=1,
+    )  # [B, 8, 3]
+    pts = np.concatenate([pts, corners], axis=1).astype(np.float32)
+    vals = np.asarray(
+        original_fn(jnp.asarray(pts.reshape(-1, 3)), ctx)
+    ).reshape(n_boxes, k + 8)
+    ivx = (jnp.asarray(lo[:, 0], jnp.float32), jnp.asarray(hi[:, 0], jnp.float32))
+    ivy = (jnp.asarray(lo[:, 1], jnp.float32), jnp.asarray(hi[:, 1], jnp.float32))
+    ivz = (jnp.asarray(lo[:, 2], jnp.float32), jnp.asarray(hi[:, 2], jnp.float32))
+    tlo, thi = twin(ivx, ivy, ivz, ctx)
+    tlo = np.asarray(tlo, np.float64)
+    thi = np.asarray(thi, np.float64)
+    worst = np.maximum(
+        tlo - vals.min(axis=1), vals.max(axis=1) - thi
+    ).max()
+    return float(max(worst, 0.0))
 
 
 @register_interval_brush(_b.empty_brush_fn)

@@ -58,7 +58,72 @@ def _default_font() -> str:
     )
 
 
+def _cache_dir() -> Optional[str]:
+    """Disk cache for build-time derived data (glyph decompositions, baked
+    factor tables).  Both are pure functions of file/scene content and cost
+    seconds per process (4225 PointInsidePen queries per glyph; the
+    weighted-ALS bake) — the cache makes every process after the first
+    cheap.  Disable with DESIGNCSG_BUILD_CACHE=0."""
+    root = os.environ.get("DESIGNCSG_BUILD_CACHE")
+    if root == "0":
+        return None
+    if not root:
+        root = os.path.join(
+            os.path.expanduser("~"), ".cache", "designcsg_tpu", "build"
+        )
+    try:
+        os.makedirs(root, exist_ok=True)
+        return root
+    except OSError:
+        return None
+
+
+_GLYPH_CACHE: dict = {}
+
+
 def _glyph_segments_and_mask(font, letter: str):
+    key = (getattr(font.reader.file, "name", id(font)), letter, LETTER_RESOLUTION)
+    if key in _GLYPH_CACHE:
+        return _GLYPH_CACHE[key]
+    cache = _cache_dir()
+    disk_key = None
+    if cache is not None and isinstance(key[0], str):
+        import hashlib
+
+        try:
+            with open(key[0], "rb") as fh:
+                font_digest = hashlib.sha256(fh.read()).hexdigest()[:16]
+            disk_key = os.path.join(
+                cache, f"glyph-{font_digest}-{ord(letter)}-{LETTER_RESOLUTION}.npz"
+            )
+            if os.path.exists(disk_key):
+                with np.load(disk_key) as z:
+                    out = (z["segments"].reshape(-1, 3, 2).tolist(), z["bits"])
+                    out = (
+                        [tuple(map(tuple, seg)) for seg in out[0]],
+                        out[1],
+                    )
+                    _GLYPH_CACHE[key] = out
+                    return out
+        except OSError:
+            disk_key = None
+    out = _glyph_segments_and_mask_uncached(font, letter)
+    _GLYPH_CACHE[key] = out
+    if disk_key is not None:
+        try:
+            tmp = disk_key + f".tmp{os.getpid()}.npz"
+            np.savez(
+                tmp,
+                segments=np.asarray(out[0], np.float64).reshape(-1, 6),
+                bits=out[1],
+            )
+            os.replace(tmp, disk_key)
+        except OSError:
+            pass
+    return out
+
+
+def _glyph_segments_and_mask_uncached(font, letter: str):
     """Quadratic segments (rescaled to [-1,1]^2) + (R+1)^2 inside bitmask.
 
     TrueType outlines are quadratic B-splines with implied on-curve midpoints
@@ -279,6 +344,17 @@ def _bake_letter_tables(segments, bits) -> np.ndarray:
     ).hexdigest()
     if key in _BAKE_CACHE:
         return _BAKE_CACHE[key]
+    cache = _cache_dir()
+    disk_key = (
+        os.path.join(cache, f"bake-{key[:24]}.npy") if cache is not None else None
+    )
+    if disk_key is not None and os.path.exists(disk_key):
+        try:
+            tbl = np.load(disk_key)
+            _BAKE_CACHE[key] = tbl
+            return tbl
+        except (OSError, ValueError):
+            pass
     B = _bake_field(samples, bits)
     Uy, Vx = _weighted_lowrank(B, BAKE_RANK)
     UA = Vx.astype(np.float32)  # x factors, (K, 128)
@@ -289,6 +365,13 @@ def _bake_letter_tables(segments, bits) -> np.ndarray:
     VS[:, :-1] = VA[:, 1:] - VA[:, :-1]
     tbl = np.concatenate([UA, US, VA, VS], axis=0)
     _BAKE_CACHE[key] = tbl
+    if disk_key is not None:
+        try:
+            tmp = disk_key + f".tmp{os.getpid()}.npy"
+            np.save(tmp, tbl)
+            os.replace(tmp, disk_key)
+        except OSError:
+            pass
     return tbl
 
 

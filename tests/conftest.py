@@ -28,6 +28,21 @@ if "xla_cpu_collective_timeout_seconds" not in flags:
     flags = (flags + " --xla_cpu_collective_timeout_seconds=3600").strip()
 os.environ["XLA_FLAGS"] = flags
 
+# Persistent XLA compile cache for the suite.  designcsg_tpu's default
+# gates the cache to TPU-ish backends (cpu_aot_loader feature-mismatch
+# warnings on cross-machine cache loads), but re-JIT-compiling Design2's
+# unrolled Hilbert tape costs ~10-60 s per entry point per run — measured
+# 101 s of a 108 s adaptive-export test was XLA:CPU compilation.  The
+# cache directory is keyed by machine fingerprint (designcsg_tpu.__init__),
+# so same-machine reuse — the only kind a test run does — is safe; a
+# suite run after a cold cache pays the compiles once.
+os.environ.setdefault(
+    "DESIGNCSG_JAX_CACHE",
+    os.path.join(
+        os.path.expanduser("~"), ".cache", "designcsg_tpu", "tests-cpu"
+    ),
+)
+
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

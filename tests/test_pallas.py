@@ -226,7 +226,27 @@ def test_fit_gradients_match_between_engines(design1):
     )
 
 
-def test_hierarchical_renderer_matches_plain(design1):
+@pytest.fixture(scope="module")
+def plain_160(design1):
+    """Shared 160x160 plain-kernel render: the reference image for both the
+    hierarchical and the strict-cone parity tests (one interpret-mode render
+    instead of two — suite-time).  160 is the smallest viewport exercising
+    F=5 blocks (lcm(32, 5) tiling); 96 steps resolve every Design1 ray at
+    this camera (64 was measured too few: slow grazing rays miss in the
+    plain march but hit from the prepass handoff, which is exactly the
+    disagreement these parity assertions exist to catch)."""
+    arrays = as_device_arrays(design1.arrays)
+    config = RenderConfig(width=160, height=160, max_steps=96)
+    campos, rgt, upp, fwd = (jnp.asarray(a) for a in Camera.initial().as_arrays())
+    plain = np.asarray(
+        make_pallas_renderer(design1, config, interpret=True)(
+            arrays, campos, rgt, upp, fwd
+        )
+    )
+    return config, plain
+
+
+def test_hierarchical_renderer_matches_plain(design1, plain_160):
     """The cone-prepass hierarchical march must preserve hits: same hit
     mask as the single-pass kernel (up to a sliver of silhouette pixels
     whose hit point lands within the epsilon band) and near-identical
@@ -236,13 +256,8 @@ def test_hierarchical_renderer_matches_plain(design1):
     )
 
     arrays = as_device_arrays(design1.arrays)
-    config = RenderConfig(width=160, height=160, max_steps=128)
+    config, plain = plain_160
     campos, rgt, upp, fwd = (jnp.asarray(a) for a in Camera.initial().as_arrays())
-    plain = np.asarray(
-        make_pallas_renderer(design1, config, interpret=True)(
-            arrays, campos, rgt, upp, fwd
-        )
-    )
     hier = np.asarray(
         make_hierarchical_renderer(design1, config, interpret=True)(
             arrays, campos, rgt, upp, fwd
@@ -268,7 +283,7 @@ def test_cone_march_t_safe_is_safe(design1):
     from designcsg_tpu.ops.pallas.march_kernel import make_pallas_cone_march
 
     arrays = as_device_arrays(design1.arrays)
-    config = RenderConfig(width=160, height=160, max_steps=128)
+    config = RenderConfig(width=160, height=160, max_steps=96)
     F = config.hierarchical_factor
     w2 = config.width / 2.0
     h2 = config.height / 2.0
@@ -457,7 +472,7 @@ def test_closure_brush_twin_with_prelude():
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
-def test_cone_strict_mode_preserves_tail_hits(design1):
+def test_cone_strict_mode_preserves_tail_hits(design1, plain_160):
     """cone_strict hands back the last *verified* parameter on a coarse
     miss, so fine rays march the prepass's final unverified segment — the
     strict-mode hierarchical render's hit mask must equal the plain
@@ -468,24 +483,15 @@ def test_cone_strict_mode_preserves_tail_hits(design1):
     )
 
     arrays = as_device_arrays(design1.arrays)
-    config = RenderConfig(
-        width=160, height=160, max_steps=96, march_hierarchical=True,
-        cone_strict=True,
+    base_config, plain = plain_160
+    config = dataclasses.replace(
+        base_config, march_hierarchical=True, cone_strict=True
     )
     campos, rgt, upp, fwd = (jnp.asarray(a) for a in Camera.initial().as_arrays())
     strict = np.asarray(
         make_hierarchical_renderer(design1, config, interpret=True)(
             arrays, campos, rgt, upp, fwd
         )
-    )
-    plain = np.asarray(
-        make_pallas_renderer(
-            design1,
-            dataclasses.replace(
-                config, march_hierarchical=False, cone_strict=False
-            ),
-            interpret=True,
-        )(arrays, campos, rgt, upp, fwd)
     )
     # miss color is white (1,1,1): compare hit masks
     hit_s = (strict < 0.999).any(axis=-1)
