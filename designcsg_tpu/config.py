@@ -91,7 +91,15 @@ class RenderConfig:
     # the VPU issue ceiling, a live Mosaic branch costs about one cheap
     # brush eval, and in open space the nearest (unprunable) object is
     # often the expensive one (cull.worth_culling).  Opt in for scenes with
-    # many expensive, spatially-separated brushes.
+    # many expensive, spatially-separated brushes.  "dynamic" re-derives
+    # the predicates at every march micro-step from the tile's current
+    # active-ray position box (exact by the same substitution argument —
+    # the box IS the evaluated points; bit-identical images, tested), built
+    # for Logo-class scenes where the hoisted [t0, max_d] box never prunes.
+    # Measured on v5e r4: ALSO unprofitable — the per-step scalar interval
+    # chain plus live branches cost more than the skipped brushes return
+    # (Logo 10.1 -> 8.5 Mrays/s, Design1 72.9 -> 14.7).  Both stay opt-in
+    # as measured negative results; cull.worth_culling is the diagnostic.
     march_cull: Optional[bool] = None
     # Two-phase proxy march (jnp path): when brushes advertise a cheap
     # __proxy_fn__ LOWER bound (e.g. Logo's plate clip standing in for its

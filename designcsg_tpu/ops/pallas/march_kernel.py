@@ -367,13 +367,21 @@ def make_pallas_renderer(
             f"{TILE_W}x{TILE_H}"
         )
     tape_eval = make_component_tape(scene, gizmo=config.gizmo)
-    # march_cull=None (default) currently means OFF — see
-    # cull.worth_culling's docstring for the measured economics.
+    # march_cull=None (default) means OFF — see cull.worth_culling's
+    # docstring for the measured economics.  True = one hoisted cull per
+    # tile over its whole view-cone segment (cheap, but the [t0, max_d]
+    # box usually spans every object).  "dynamic" = re-derive the cull
+    # predicates at EVERY march micro-step from the box of the tile's
+    # current ACTIVE-ray positions: the box is exactly the set of points
+    # about to be evaluated, so the interval substitution argument applies
+    # verbatim (no segment extension, no drift pad), and mid-march tiles
+    # hugging one letter plate skip the other expensive brushes — the mode
+    # built for Logo-class scenes, where the hoisted cull prunes nothing.
+    cull_mode = getattr(config, "march_cull", None)
     culler = (
-        make_tape_culler(scene, gizmo=config.gizmo)
-        if getattr(config, "march_cull", None)
-        else None
+        make_tape_culler(scene, gizmo=config.gizmo) if cull_mode else None
     )
+    dynamic_cull = culler is not None and cull_mode == "dynamic"
     kbrushes = kernel_brushes_for_scene(scene)
     kmaterials = kernel_materials_for_scene(scene)
     shape_id = [int(s) for s in np.asarray(scene.arrays.shape_id)]
@@ -486,6 +494,34 @@ def make_pallas_renderer(
         else:
             cone_cull = None
 
+        if dynamic_cull:
+
+            def step_cull(vx, vy, vz, act):
+                # Box of the ACTIVE rays' current positions (finished rays
+                # sit on surfaces and would pin the box to every object
+                # they hit).  The (0,0) ray's position — always a
+                # previously-visited, hence valid, point — fills inactive
+                # lanes so an all-done tile still produces a proper box.
+                fx, fy, fz = vx[0, 0], vy[0, 0], vz[0, 0]
+                on = act > 0.5
+                bx = (
+                    jnp.min(jnp.where(on, vx, fx)),
+                    jnp.max(jnp.where(on, vx, fx)),
+                )
+                by = (
+                    jnp.min(jnp.where(on, vy, fy)),
+                    jnp.max(jnp.where(on, vy, fy)),
+                )
+                bz = (
+                    jnp.min(jnp.where(on, vz, fz)),
+                    jnp.max(jnp.where(on, vz, fz)),
+                )
+                preds_d, substs_d = culler((bx, by, bz), bank, ctx)
+                return (culler.groups, preds_d, substs_d)
+
+        else:
+            step_cull = None
+
         if omega <= 1.0:
             # K micro-steps per loop iteration: the tile-exit test (a full
             # cross-lane reduction + loop branch) amortizes over K exact
@@ -507,7 +543,11 @@ def make_pallas_renderer(
                         active = (1.0 - hit) * (1.0 - miss) * within
                     else:
                         active = (1.0 - hit) * (1.0 - miss)
-                    s = sdf(vx, vy, vz, cone_cull) * tol
+                    if step_cull is not None:
+                        s = sdf(vx, vy, vz, step_cull(vx, vy, vz, active))
+                    else:
+                        s = sdf(vx, vy, vz, cone_cull)
+                    s = s * tol
                     new_hit = active * jnp.where(s < eps, 1.0, 0.0)
                     advance = active * (1.0 - new_hit)
                     vx = vx + advance * s * rx
@@ -545,7 +585,11 @@ def make_pallas_renderer(
                         active = (1.0 - hit) * (1.0 - miss) * within
                     else:
                         active = (1.0 - hit) * (1.0 - miss)
-                    s = sdf(vx, vy, vz, cone_cull) * tol
+                    if step_cull is not None:
+                        s = sdf(vx, vy, vz, step_cull(vx, vy, vz, active))
+                    else:
+                        s = sdf(vx, vy, vz, cone_cull)
+                    s = s * tol
                     sor_ok = jnp.where(jnp.abs(s) + prev_r < step_len, 0.0, 1.0)
                     sor_ok = jnp.where(omg > 1.0, sor_ok, 1.0)
                     new_hit = active * sor_ok * jnp.where(s < eps, 1.0, 0.0)

@@ -407,6 +407,33 @@ def test_tape_culler_exact_on_boxes(design1):
     assert pruned_any, "no box pruned any group — cull never engages"
 
 
+def test_march_cull_dynamic_bit_identical(logo):
+    """march_cull="dynamic" re-culls from the current active-ray box every
+    micro-step; the substitution is exact (the box is exactly the evaluated
+    points).  On-chip both paths compile through Mosaic identically and the
+    measured diff is 0.0 (scratch r4 bench); in interpret mode lax.cond
+    branch bodies contract FMAs differently than the inline tape, so a few
+    boundary pixels drift by ulp-amplified amounts — same tolerance story
+    as test_march_cull_bit_identical above.  Measured unprofitable on v5e
+    (config.py notes) — this guards the exactness claim, not a fast path."""
+    arrays = as_device_arrays(logo.arrays)
+    config = RenderConfig(width=32, height=32, max_steps=64, march_unroll=2)
+    dyn = dataclasses.replace(config, march_cull="dynamic")
+    campos, rgt, upp, fwd = (jnp.asarray(a) for a in Camera.initial().as_arrays())
+    plain = np.asarray(
+        make_pallas_renderer(logo, config, interpret=True)(
+            arrays, campos, rgt, upp, fwd
+        )
+    )
+    culled = np.asarray(
+        make_pallas_renderer(logo, dyn, interpret=True)(
+            arrays, campos, rgt, upp, fwd
+        )
+    )
+    assert np.abs(culled - plain).max() < 2e-3
+    assert (np.abs(culled - plain) > 2e-4).mean() < 0.02
+
+
 def test_interval_twins_sound_by_fuzzing(design2, logo):
     """Fuzz every registered interval twin the shipped designs use (random
     boxes vs the pointwise brush — cull.verify_interval_twin): an
