@@ -52,21 +52,34 @@ def _min_area_triangulation(
         return [(loop[0], loop[1], loop[2])]
     p = verts[loop].astype(np.float64)
 
-    def area(i, j, k):
-        return 0.5 * np.linalg.norm(np.cross(p[j] - p[i], p[k] - p[i]))
+    # Edge-vector table E[a, b] = p[b] - p[a]; triangle areas come from one
+    # broadcast cross product per loop instead of a python call per (i,k,j)
+    # candidate (r4: the per-call np.cross dominated the whole healing
+    # stage — ~285k calls over ~9k crack loops).  Loops are sliver-sized
+    # (mostly 4-8 vertices), so the O(m^3) area tensor is tiny; very large
+    # loops fall back to one vectorized row per (i, j).
+    E = p[None, :, :] - p[:, None, :]
+    A = None
+    if m <= 48:
+        C = np.cross(E[:, :, None, :], E[:, None, :, :])
+        A = 0.5 * np.linalg.norm(C, axis=-1)  # A[i, k, j] = area(p_i,p_k,p_j)
 
     cost = np.zeros((m, m))
     split = np.zeros((m, m), dtype=np.int64)
     for span in range(2, m):
         for i in range(m - span):
             j = i + span
-            best, bestk = np.inf, i + 1
-            for k in range(i + 1, j):
-                c = cost[i, k] + cost[k, j] + area(i, k, j)
-                if c < best:
-                    best, bestk = c, k
-            cost[i, j] = best
-            split[i, j] = bestk
+            ks = np.arange(i + 1, j)
+            if A is not None:
+                tri_areas = A[i, ks, j]
+            else:
+                tri_areas = 0.5 * np.linalg.norm(
+                    np.cross(E[i, ks], E[i, j][None]), axis=-1
+                )
+            c = cost[i, ks] + cost[ks, j] + tri_areas
+            t = int(np.argmin(c))
+            cost[i, j] = c[t]
+            split[i, j] = i + 1 + t
     tris: List[Tuple[int, int, int]] = []
 
     def emit(i, j):

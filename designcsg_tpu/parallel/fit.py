@@ -46,9 +46,13 @@ def default_param_to_arrays(scene: CompiledScene) -> Callable:
     (tests/test_pose.py demonstrates rotation+scale recovery with it,
     single-device and mesh-sharded); arbitrary-data parameterizations swap
     ``ad`` the same way."""
+    # Device-array base: the unchanged banks must be jnp too, or brushes
+    # that INDEX a bank with traced values (Logo's ad bitmask gather) hit
+    # numpy's __array__-on-tracer error under jit.
+    base = jax.tree_util.tree_map(jnp.asarray, scene.arrays)
 
     def param_to_arrays(params) -> SceneArrays:
-        return scene.arrays.replace(**params)
+        return base.replace(**params)
 
     return param_to_arrays
 

@@ -108,8 +108,11 @@ def make_pose_to_arrays(scene: CompiledScene) -> Callable:
 
     Every bank entry is differentiable w.r.t. every pose leaf; the integer
     structure (tape, shape/material ids) and arbitrary data are taken from
-    ``scene`` unchanged.  Drop-in for ``FitHarness``'s ``param_to_arrays``
-    (see :func:`pose_param_to_arrays`)."""
+    ``scene`` unchanged (as device arrays, so brushes that index a bank
+    with traced values — Logo's ad bitmask gather — trace cleanly).
+    Drop-in for ``FitHarness``'s ``param_to_arrays`` (see
+    :func:`pose_param_to_arrays`)."""
+    base = jax.tree_util.tree_map(jnp.asarray, scene.arrays)
 
     def one(position, yaw, pitch, roll, scale):
         M = tf.initial(position, yaw, pitch, roll, scale, xp=jnp)
@@ -129,7 +132,7 @@ def make_pose_to_arrays(scene: CompiledScene) -> Callable:
             jnp.asarray(params["roll"], jnp.float32),
             jnp.asarray(params["scale"], jnp.float32),
         )
-        return scene.arrays.replace(
+        return base.replace(
             position=p.astype(jnp.float32),
             right=r.astype(jnp.float32),
             up=u.astype(jnp.float32),

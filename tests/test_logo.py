@@ -125,6 +125,39 @@ def test_kernel_twin_matches_brush(logo):
     assert checked == 3
 
 
+def test_fit_step_runs_on_logo(logo):
+    """One differentiable fit step on Logo traces and produces a finite
+    loss + nonzero position gradients (r3 weak #7: Logo-class scenes had
+    no usable fit path; also guards the numpy-banks-under-jit regression —
+    the ad bitmask gather needs device arrays, fit.py/pose.py base)."""
+    import optax
+
+    from designcsg_tpu.camera import Camera
+    from designcsg_tpu.config import RenderConfig
+    from designcsg_tpu.parallel.fit import make_fit_harness
+
+    config = RenderConfig(
+        width=32,
+        height=32,
+        max_steps=48,
+        differentiable=True,
+        soft_silhouette_bandwidth=0.02,
+        gizmo=False,
+    )
+    campos, rgt, upp, fwd = Camera.initial().as_arrays()
+    h = make_fit_harness(
+        logo, config, optimizer=optax.adam(1e-2), use_mesh=False
+    )
+    target = h.render_target(logo.arrays, campos, rgt, upp, fwd)
+    start = np.asarray(logo.arrays.position).copy()
+    start[2, 0] += 0.05
+    state = h.init({"position": jnp.asarray(start)})
+    state, loss = h.step_fn(state, target, campos, rgt, upp, fwd)
+    assert np.isfinite(float(loss))
+    moved = np.abs(np.asarray(state.params["position"]) - start).sum()
+    assert moved > 0
+
+
 def test_pallas_render_parity_interpret(logo):
     """End-to-end fused-kernel render (interpret mode) vs the exact jnp
     renderer on a tiny viewport: same hit structure, silhouette-level
