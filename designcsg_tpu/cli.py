@@ -247,6 +247,39 @@ def cmd_fit(args):
     print(f"wrote {args.output}/fit.ckpt")
 
 
+def cmd_preview(args):
+    """Screenshot-style render of an exported mesh (STL/PLY) to PNG.
+
+    The reference's workflow screenshots exports in an external viewer
+    (README.md:15-16); this is the built-in equivalent
+    (export/preview.py)."""
+    import numpy as np
+
+    from designcsg_tpu.export.preview import (
+        fill_background_pinholes,
+        rasterize_mesh,
+    )
+    from designcsg_tpu.export.writers import read_ply, read_stl
+
+    path = args.mesh
+    mesh = read_ply(path) if path.lower().endswith(".ply") else read_stl(path)
+    a, e = np.radians(args.azimuth), np.radians(args.elevation)
+    view = np.array(
+        [np.sin(a) * np.cos(e), -np.sin(e), np.cos(a) * np.cos(e)]
+    )
+    img = rasterize_mesh(mesh, view_dir=view, size=args.size)
+    img = fill_background_pinholes(img)
+    try:
+        from PIL import Image
+    except ImportError:
+        raise SystemExit("preview needs pillow (pip install pillow)")
+    Image.fromarray(img).save(args.out)
+    print(
+        f"{args.out}: {mesh.num_faces} triangles at az {args.azimuth} "
+        f"el {args.elevation}"
+    )
+
+
 def cmd_bench(args):
     import bench
 
@@ -341,6 +374,16 @@ def main(argv=None):
     p.add_argument("--orbit", type=float, nargs=2)
     p.add_argument("--zoom", type=float, default=0.0)
     p.set_defaults(fn=cmd_fit)
+
+    p = sub.add_parser(
+        "preview", help="screenshot-style PNG of an exported STL/PLY mesh"
+    )
+    p.add_argument("mesh", help="path to .stl or .ply")
+    p.add_argument("out", nargs="?", default="preview.png")
+    p.add_argument("--azimuth", type=float, default=-30.0)
+    p.add_argument("--elevation", type=float, default=-15.0)
+    p.add_argument("--size", type=int, default=512)
+    p.set_defaults(fn=cmd_preview)
 
     p = sub.add_parser("bench", help="run the headline benchmark")
     p.set_defaults(fn=cmd_bench)

@@ -50,6 +50,22 @@ def test_export_command(tmp_path):
     assert os.path.getsize(stl) > 84
 
 
+def test_preview_command(tmp_path):
+    """Export then preview: the built-in answer to the reference's
+    external-viewer export screenshots."""
+    stl = str(tmp_path / "p.stl")
+    png = str(tmp_path / "p.png")
+    cli.main(["export", "design1", "--stl", stl, "--grid-level", "4"])
+    cli.main(["preview", stl, png, "--size", "128"])
+    from PIL import Image
+    import numpy as np
+
+    img = np.asarray(Image.open(png))
+    assert img.shape == (128, 128)
+    # content present: a solid object darker than the backdrop
+    assert (img < 200).mean() > 0.05
+
+
 def test_artifacts_command(tmp_path):
     cli.main(["artifacts", "design2", "-d", str(tmp_path)])
     golden = open("/root/reference/master/buildprocedure.txt").read().strip()
