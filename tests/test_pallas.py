@@ -417,7 +417,7 @@ def test_march_cull_dynamic_bit_identical(logo):
     as test_march_cull_bit_identical above.  Measured unprofitable on v5e
     (config.py notes) — this guards the exactness claim, not a fast path."""
     arrays = as_device_arrays(logo.arrays)
-    config = RenderConfig(width=32, height=32, max_steps=64, march_unroll=2)
+    config = RenderConfig(width=32, height=32, max_steps=48, march_unroll=2)
     dyn = dataclasses.replace(config, march_cull="dynamic")
     campos, rgt, upp, fwd = (jnp.asarray(a) for a in Camera.initial().as_arrays())
     plain = np.asarray(
@@ -449,7 +449,7 @@ def test_interval_twins_sound_by_fuzzing(design2, logo):
             if fn not in INTERVAL_BRUSHES:
                 continue
             worst = verify_interval_twin(
-                fn, radius=3.0, n_boxes=96, samples_per_box=32, ctx=ctx
+                fn, radius=3.0, n_boxes=64, samples_per_box=24, ctx=ctx
             )
             name = getattr(fn, "__name__", str(fn))
             assert worst <= 1e-5, f"{name}: interval twin violated by {worst}"
