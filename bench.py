@@ -102,6 +102,24 @@ def main():
     except Exception as e:
         log("exact-march bench failed:", e)
 
+    # Secondary: Design2 fast mode (same hit-preserving config as the
+    # headline, on the reference's heavy scene).
+    try:
+        sc2 = designs.get_design("design2")
+        arr2 = as_device_arrays(sc2.arrays)
+        b2f, r2f = time_render(
+            RenderConfig(march_overrelax=1.6, march_hierarchical=True),
+            factory=make_hierarchical_renderer,
+            bench_scene=sc2,
+            bench_arrays=arr2,
+        )
+        log(
+            f"design2 (hierarchical + overrelax): {b2f*1e3:.3f} ms/frame -> "
+            f"{r2f/1e6:.1f} Mrays/s"
+        )
+    except Exception as e:
+        log("design2 fast bench failed:", e)
+
     # Secondary: Design2 (Hilbert sculpture — the reference's heavy scene)
     # and Logo (arbitrary-data Bezier letters) viewports, exact semantics.
     for name in ("design2", "logo"):

@@ -561,8 +561,12 @@ def _letter_component(c, font, letter: str, transform, index: int):
     # in-kernel (see _bake_letter_tables).  The bake happens here at build
     # time from the same concrete curve/bitmask data the AD is packed from;
     # an edited design rebuilds the scene and hence re-bakes.  The jnp
-    # brush above stays the exact/differentiable reference (export
-    # refinement and fit gradients never see the tables).
+    # brush above stays the exact/differentiable reference: fit gradients
+    # and every off-TPU evaluation use it.  On TPU, BatchEvaluator's
+    # auto-selected Pallas path means exports also extract/refine against
+    # the baked field (within the bake's near-surface tolerance, ~5e-3
+    # letter units — an order below typical export cell sizes); pass
+    # BatchEvaluator(..., use_pallas=False) for exact-brush exports.
     table = _bake_letter_tables(segments, bits)
     table_name = f"logo_{index}_{letter}"
     letter_fn.__kernel_prelude__ = {

@@ -348,7 +348,7 @@ def test_march_cull_bit_identical(design1):
     normal's differencing amplifies those ulps ~1e3x; on-chip, where both
     paths compile through Mosaic identically, the diff measures 0.0)."""
     arrays = as_device_arrays(design1.arrays)
-    config = RenderConfig(width=128, height=8, max_steps=64, march_cull=True)
+    config = RenderConfig(width=128, height=8, max_steps=48, march_cull=True, march_unroll=2)
     base = dataclasses.replace(config, march_cull=False)
     campos, rgt, upp, fwd = (jnp.asarray(a) for a in Camera.initial().as_arrays())
     culled = np.asarray(
@@ -407,26 +407,29 @@ def test_tape_culler_exact_on_boxes(design1):
     assert pruned_any, "no box pruned any group — cull never engages"
 
 
-def test_march_cull_dynamic_bit_identical(logo):
+def test_march_cull_dynamic_bit_identical(design2):
     """march_cull="dynamic" re-culls from the current active-ray box every
     micro-step; the substitution is exact (the box is exactly the evaluated
     points).  On-chip both paths compile through Mosaic identically and the
-    measured diff is 0.0 (scratch r4 bench); in interpret mode lax.cond
-    branch bodies contract FMAs differently than the inline tape, so a few
-    boundary pixels drift by ulp-amplified amounts — same tolerance story
-    as test_march_cull_bit_identical above.  Measured unprofitable on v5e
-    (config.py notes) — this guards the exactness claim, not a fast path."""
-    arrays = as_device_arrays(logo.arrays)
-    config = RenderConfig(width=32, height=32, max_steps=48, march_unroll=2)
+    measured diff is 0.0 on Logo and Design1 (scratch r4 bench); in
+    interpret mode lax.cond branch bodies contract FMAs differently than
+    the inline tape, so a few boundary pixels drift by ulp-amplified
+    amounts — same tolerance story as test_march_cull_bit_identical above.
+    Design2 is the test scene: its separated hilbert/base solids flip the
+    predicates mid-march (the case that must stay exact) at a third of
+    Logo's interpret cost.  Measured unprofitable on v5e (config.py notes)
+    — this guards the exactness claim, not a fast path."""
+    arrays = as_device_arrays(design2.arrays)
+    config = RenderConfig(width=32, height=32, max_steps=64, march_unroll=1)
     dyn = dataclasses.replace(config, march_cull="dynamic")
     campos, rgt, upp, fwd = (jnp.asarray(a) for a in Camera.initial().as_arrays())
     plain = np.asarray(
-        make_pallas_renderer(logo, config, interpret=True)(
+        make_pallas_renderer(design2, config, interpret=True)(
             arrays, campos, rgt, upp, fwd
         )
     )
     culled = np.asarray(
-        make_pallas_renderer(logo, dyn, interpret=True)(
+        make_pallas_renderer(design2, dyn, interpret=True)(
             arrays, campos, rgt, upp, fwd
         )
     )
