@@ -41,60 +41,9 @@ def _gather_1d(row_bcast, idx):
     return jnp.take_along_axis(row_bcast, idx, axis=1)
 
 
-def rank_table_sample(u_tbl, v_tbl, gx, gy):
-    """Evaluate ``sum_k u_k(gx) * v_k(gy)`` per element.
-
-    ``u_tbl``/``v_tbl``: f32[K, 128] — rank factors sampled on uniform
-    128-point grids over x and y.  ``gx``/``gy``: float grid coordinates
-    (0 .. 127) of any (8m, 128) plane shape; out-of-range coordinates
-    clamp, so callers handle out-of-domain semantics themselves (e.g. a
-    Lipschitz lower-bound correction).  Each rank term costs two lane
-    gathers per axis plus the interpolation arithmetic; the sublane
-    broadcasts of the factor rows are loop-invariant and hoist out of any
-    enclosing march loop."""
-    K = u_tbl.shape[0]
-    gx = jnp.clip(gx, 0.0, 126.999)
-    gy = jnp.clip(gy, 0.0, 126.999)
-    x0 = jnp.floor(gx)
-    y0 = jnp.floor(gy)
-    fx = gx - x0
-    fy = gy - y0
-    c0 = x0.astype(jnp.int32)
-    c1 = c0 + 1
-    r0 = y0.astype(jnp.int32)
-    r1 = r0 + 1
-
-    rows = gx.shape[0] if gx.ndim == 2 else None
-    if rows is None or rows % 8:
-        raise ValueError(
-            f"rank_table_sample wants (8m, 128)-shaped planes, got {gx.shape}"
-        )
-
-    def chunk(sl):
-        shape = (8, 128)
-        acc = jnp.zeros(shape, u_tbl.dtype)
-        for k in range(K):
-            u_row = jnp.broadcast_to(u_tbl[k : k + 1, :], shape)
-            v_row = jnp.broadcast_to(v_tbl[k : k + 1, :], shape)
-            u0 = _gather_1d(u_row, c0[sl])
-            u1 = _gather_1d(u_row, c1[sl])
-            v0 = _gather_1d(v_row, r0[sl])
-            v1 = _gather_1d(v_row, r1[sl])
-            uk = u0 + fx[sl] * (u1 - u0)
-            vk = v0 + fy[sl] * (v1 - v0)
-            acc = acc + uk * vk
-        return acc
-
-    if rows == 8:
-        return chunk(slice(None))
-    return jnp.concatenate(
-        [chunk(slice(i, i + 8)) for i in range(0, rows, 8)], axis=0
-    )
-
-
 def packed_rank_sample(tbl, gx, gy):
-    """Value+slope form of :func:`rank_table_sample` — 2 gathers per axis
-    per term with the interpolation as a single fma.
+    """Rank-factored field sampling, value+slope form: 2 lane gathers per
+    axis per term with the interpolation as a single fma.
 
     ``tbl``: f32[4K, 128] packing four (K, 128) blocks: x-factor values
     ``UA``, x-factor forward-difference slopes ``US`` (``US[:, c] =

@@ -407,6 +407,41 @@ def test_tape_culler_exact_on_boxes(design1):
     assert pruned_any, "no box pruned any group — cull never engages"
 
 
+def test_packed_rank_sample_matches_numpy():
+    """The in-kernel rank-factored sampler equals per-axis linear
+    interpolation of the factors (the representation the Logo letter twins
+    ride — ops/pallas/table.py)."""
+    from designcsg_tpu.ops.pallas.table import packed_rank_sample
+
+    rng = np.random.default_rng(3)
+    K = 8
+    ua = rng.standard_normal((K, 128)).astype(np.float32)
+    va = rng.standard_normal((K, 128)).astype(np.float32)
+    us = np.zeros_like(ua)
+    us[:, :-1] = ua[:, 1:] - ua[:, :-1]
+    vs = np.zeros_like(va)
+    vs[:, :-1] = va[:, 1:] - va[:, :-1]
+    tbl = np.concatenate([ua, us, va, vs], axis=0)
+    gx = (rng.random((16, 128)) * 127).astype(np.float32)
+    gy = (rng.random((16, 128)) * 127).astype(np.float32)
+    out = np.asarray(
+        packed_rank_sample(jnp.asarray(tbl), jnp.asarray(gx), jnp.asarray(gy))
+    )
+
+    cx = np.clip(gx, 0, 126.999)
+    cy = np.clip(gy, 0, 126.999)
+    x0 = np.floor(cx).astype(int)
+    y0 = np.floor(cy).astype(int)
+    fxn = cx - x0
+    fyn = cy - y0
+    ref = np.zeros_like(gx)
+    for k in range(K):
+        uk = ua[k][x0] * (1 - fxn) + ua[k][x0 + 1] * fxn
+        vk = va[k][y0] * (1 - fyn) + va[k][y0 + 1] * fyn
+        ref += uk * vk
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
 def test_march_cull_dynamic_bit_identical(design2):
     """march_cull="dynamic" re-culls from the current active-ray box every
     micro-step; the substitution is exact (the box is exactly the evaluated
