@@ -148,6 +148,7 @@ def verify_interval_twin(
     samples_per_box: int = 64,
     ctx=None,
     seed: int = 0,
+    boxes=None,
 ) -> float:
     """Sampled soundness check of a brush's registered interval twin.
 
@@ -169,11 +170,19 @@ def verify_interval_twin(
     if ctx is None:
         ctx = EvalContext()
     rng = np.random.default_rng(seed)
-    lo = rng.uniform(-radius, radius, size=(n_boxes, 3))
-    size = rng.uniform(0.0, radius, size=(n_boxes, 3)) * rng.uniform(
-        0.02, 1.0, size=(n_boxes, 1)
-    )
-    hi = lo + size
+    if boxes is not None:
+        # Caller-targeted boxes: random fuzz rarely samples thin bands
+        # (e.g. the inside-near-anchor region of the letter twins, ADVICE
+        # r4) — tests can aim boxes exactly there.
+        lo, hi = (np.asarray(a, np.float64) for a in boxes)
+        n_boxes = lo.shape[0]
+        size = hi - lo
+    else:
+        lo = rng.uniform(-radius, radius, size=(n_boxes, 3))
+        size = rng.uniform(0.0, radius, size=(n_boxes, 3)) * rng.uniform(
+            0.02, 1.0, size=(n_boxes, 1)
+        )
+        hi = lo + size
     # random interior samples + the 8 corners per box (extrema often live
     # on corners), evaluated in ONE batched brush call; the interval twin
     # evaluates once with ARRAY endpoints — the iv_* ops are elementwise

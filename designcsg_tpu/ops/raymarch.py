@@ -556,6 +556,19 @@ def to_u8(image):
     return jnp.clip(jnp.trunc(255.0 * image), 0.0, 255.0).astype(jnp.uint8)
 
 
+def pallas_viewport_tiles(width: int, height: int) -> bool:
+    """Whether the fused Pallas renderer can lay out this viewport.
+
+    The kernel supports square 32x32 pixel blocks or wide 128x8 vector
+    stripes (march_kernel.make_pallas_renderer); :func:`render_scene`'s
+    TPU auto-route must check this before picking the kernel, falling
+    through to the jnp/compacted paths for anything else instead of
+    tripping the kernel's tile assertion (ADVICE r4)."""
+    return (width % 32 == 0 and height % 32 == 0) or (
+        width % 128 == 0 and height % 8 == 0
+    )
+
+
 def render_scene(
     scene: CompiledScene,
     camera=None,
@@ -585,6 +598,7 @@ def render_scene(
         and not config.differentiable
         and config.soft_silhouette_bandwidth <= 0
         and supports_scene(scene)
+        and pallas_viewport_tiles(config.width, config.height)
     ):
         # The fused kernel beats the host-orchestrated compacted path on
         # TPU even for proxy-carrying scenes (Logo: 30 ms/frame vs 1.9 s —

@@ -444,9 +444,15 @@ def _register_letter_interval(letter_fn, samples: np.ndarray):
                 _cull.iv_add(_cull.iv_square(dx), _cull.iv_square(dy))
             )[1]
             d_hi = hi if d_hi is None else jnp.minimum(d_hi, hi)
-        signed_hi = d_hi - THICKNESS
+        # Inside the glyph the brush returns a *negative* signed distance
+        # (-d), not d - THICKNESS, so d_hi - THICKNESS alone undercuts the
+        # true value by up to ~THICKNESS/2 near anchor samples (ADVICE r4).
+        # Clamping the signed upper bound at 0 is sound for both branches:
+        # inside values are <= 0, outside values are <= d_hi - THICKNESS.
+        signed_hi = jnp.maximum(d_hi - THICKNESS, 0.0)
         return (clip[0], jnp.maximum(signed_hi, clip[1]))
 
+    _iv.__anchors__ = anchors  # targeted-fuzz hook (tests/test_pallas.py)
     _cull.INTERVAL_BRUSHES[letter_fn] = _iv
 
 

@@ -495,6 +495,47 @@ def test_interval_twins_sound_by_fuzzing(design2, logo):
     assert checked >= 5  # hilbert + base + three letter brushes
 
 
+def test_letter_interval_twin_sound_inside_near_anchors(logo):
+    """Targeted fuzz for the hole ADVICE r4 found: inside the glyph the
+    brush returns -d (not d-THICKNESS), so an unclamped upper bound
+    min_a |p-s_a| - THICKNESS undercuts the true value by up to
+    ~THICKNESS/2 at inside points near an anchor sample.  Random boxes in
+    radius 3-4 essentially never land in that thin band, so we aim tiny
+    boxes exactly at every anchor (stored on the twin by
+    _register_letter_interval) across a spread of box sizes."""
+    from designs.logo import THICKNESS
+    from designcsg_tpu.brushes import EvalContext
+    from designcsg_tpu.ops.pallas.cull import INTERVAL_BRUSHES, verify_interval_twin
+
+    ctx = EvalContext(ad=jnp.asarray(logo.arrays.ad))
+    checked = 0
+    for fn in logo.brush_fns:
+        twin = INTERVAL_BRUSHES.get(fn)
+        anchors = getattr(twin, "__anchors__", None)
+        if anchors is None:
+            continue
+        # Anchors live in the brush's doubled coordinate space (v = 2p);
+        # center boxes at local (ax/2, ay/2, plate mid-z) with half-sizes
+        # from near-point to ~THICKNESS (the band the old bound undercut).
+        centers = np.concatenate(
+            [anchors / 2.0, np.full((len(anchors), 1), 1.25 / 2.0)], axis=1
+        )
+        lo_list, hi_list = [], []
+        for half in (1e-4, THICKNESS / 8, THICKNESS / 2, THICKNESS):
+            lo_list.append(centers - half)
+            hi_list.append(centers + half)
+        worst = verify_interval_twin(
+            fn,
+            samples_per_box=48,
+            ctx=ctx,
+            boxes=(np.concatenate(lo_list), np.concatenate(hi_list)),
+        )
+        name = getattr(fn, "__name__", str(fn))
+        assert worst <= 1e-5, f"{name}: inside-near-anchor violation {worst}"
+        checked += 1
+    assert checked >= 3  # the three letter brushes
+
+
 def test_closure_brush_twin_with_prelude():
     """A brush built as a closure (unregistrable by identity at import time)
     rides the Pallas path via the __kernel_twin__ attribute, and its twin

@@ -204,3 +204,19 @@ def test_compacted_renderer_matches_plain_logo():
     assert (hit_c != hit_p).mean() < 5e-3  # hit masks agree
     diff = np.abs(img_c.astype(int) - img_p.astype(int)).max(axis=-1)
     assert (diff > 8).mean() < 0.03  # shading jitter confined to edges
+
+
+def test_pallas_viewport_tile_routing_predicate():
+    """render_scene's TPU auto-route must only pick the fused Pallas kernel
+    for viewports the kernel can lay out (32x32 blocks or 128x8 stripes);
+    e.g. 300x200 previously tripped the kernel's tile assertion instead of
+    falling through to the jnp/compacted path (ADVICE r4)."""
+    from designcsg_tpu.ops.raymarch import pallas_viewport_tiles
+
+    assert pallas_viewport_tiles(640, 480)
+    assert pallas_viewport_tiles(128, 8)
+    assert pallas_viewport_tiles(256, 24)  # stripes: 128x8
+    assert pallas_viewport_tiles(96, 64)  # blocks: 32x32
+    assert not pallas_viewport_tiles(300, 200)
+    assert not pallas_viewport_tiles(100, 100)
+    assert not pallas_viewport_tiles(129, 8)
