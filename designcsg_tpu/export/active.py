@@ -57,7 +57,10 @@ def _make_slab_provider(
     if getattr(evaluator, "use_pallas", False):
         from ..ops.pallas import make_grid_eval
 
-        grid_eval = make_grid_eval(evaluator.scene)
+        grid_eval = make_grid_eval(
+            evaluator.scene,
+            interpret=getattr(evaluator, "pallas_interpret", False),
+        )
 
         def provider(lo3, cell, z0, rows, r1):
             return grid_eval(
@@ -114,7 +117,9 @@ def _make_sharded_slab_provider(evaluator: BatchEvaluator, device_mesh):
     if getattr(evaluator, "use_pallas", False):
         from ..ops.pallas import make_grid_eval
 
-        grid_eval = make_grid_eval(scene)
+        grid_eval = make_grid_eval(
+            scene, interpret=getattr(evaluator, "pallas_interpret", False)
+        )
 
         def eval_rows(arrays, lo3, cell, z0f, nrows: int, r1: int):
             return grid_eval(arrays, lo3, cell, z0f, nrows, r1)

@@ -111,7 +111,10 @@ def autodetect_bounding_box_device(
     lo = -cell / 2.0 - (res // 2) * cell
     eps = cell
     slab = max(1, min(64, res))
-    ge = make_grid_eval(evaluator.scene)
+    ge = make_grid_eval(
+        evaluator.scene,
+        interpret=getattr(evaluator, "pallas_interpret", False),
+    )
     big = jnp.float32(1e9)
 
     # Two separate simple programs instead of one fused pallas+reduction jit:
@@ -238,6 +241,15 @@ def export_mesh(
     evaluator = evaluator or BatchEvaluator(scene, sharded=sharded)
     stage_seconds: dict = {}
     stats: dict = {}
+    # Record which SDF field extraction + refinement rode (VERDICT r4 #1):
+    # "tape-exact" (the reference's always-exact k2 semantics),
+    # "pallas-exact" (kernel twins, exact rewrites), or "pallas-baked"
+    # (approximate twins — Logo's rank-32 letter fields — with the
+    # declared near-surface tolerance in brush units).
+    stats["sdf_field"] = getattr(evaluator, "sdf_field", "tape-exact")
+    tol = getattr(evaluator, "twin_tolerance", 0.0)
+    if tol:
+        stats["twin_tolerance"] = tol
     evals = 0
 
     def _tick(stage, frac):
@@ -382,7 +394,10 @@ def export_mesh(
                 # coordinates in-register; only corner values cross HBM/host.
                 from ..ops.pallas import make_grid_eval
 
-                grid_kernel = make_grid_eval(evaluator.scene)
+                grid_kernel = make_grid_eval(
+                    evaluator.scene,
+                    interpret=getattr(evaluator, "pallas_interpret", False),
+                )
                 lo = np.asarray(center, np.float64) - half
                 cell = 2.0 * half / resolution
 

@@ -13,7 +13,11 @@ from .brushes_kernel import (  # noqa: F401
     register_kernel_brush,
     supports_scene,
 )
-from .sdf_kernel import make_grid_eval, make_pallas_point_eval  # noqa: F401
+from .sdf_kernel import (  # noqa: F401
+    make_grid_eval,
+    make_pallas_point_eval,
+    make_twin_point_eval,
+)
 from .march_kernel import (  # noqa: F401
     make_hierarchical_renderer,
     make_pallas_cone_march,

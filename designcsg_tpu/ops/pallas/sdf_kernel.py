@@ -121,6 +121,46 @@ def make_pallas_point_eval(
     return point_eval
 
 
+def make_twin_point_eval(scene: CompiledScene, gizmo: bool = False):
+    """Plain-XLA evaluation of the kernel-twin FIELD: the same component
+    tape (and hence the same baked/twin brushes — e.g. Logo's rank-32
+    letter fields) as :func:`make_pallas_point_eval`, but composed as
+    ordinary jnp ops instead of a ``pallas_call``.
+
+    Two uses: evaluating the twin field off-TPU at XLA speed (interpret-
+    mode Pallas is orders of magnitude slower — the CPU analog of the TPU
+    export path for tests), and cross-checking the kernel against an
+    independent compilation of the identical tape."""
+    from .brushes_kernel import scene_preludes
+    from .tape import array_bank_reader
+
+    tape_eval = make_component_tape(scene, gizmo=gizmo)
+    names = [nm for nm, _ in scene_preludes(scene)]
+    tile_points = 8 * LANE
+
+    @jax.jit
+    def point_eval(points, arrays: SceneArrays):
+        n = points.shape[0]
+        pad = (-n) % tile_points
+        if pad:
+            points = jnp.concatenate(
+                [points, jnp.zeros((pad, 3), points.dtype)], axis=0
+            )
+        rows = points.shape[0] // LANE
+        x = points[:, 0].reshape(rows, LANE)
+        y = points[:, 1].reshape(rows, LANE)
+        z = points[:, 2].reshape(rows, LANE)
+        inputs = _bank_inputs(arrays, scene)
+        ad = inputs[4]
+        extras = dict(zip(names, inputs[5:]))
+        ctx = EvalContext(ad=ad, extras=extras)
+        bank = array_bank_reader(arrays)
+        out = tape_eval(x, y, z, bank, ctx)
+        return out.reshape(-1)[:n]
+
+    return point_eval
+
+
 BZ = 16  # z cells per grid block
 BY = 32  # y cells per grid block (best of the measured (BZ,BY) sweep)
 

@@ -32,6 +32,7 @@ arrays freely (k1.cl getAD); this is the TPU-native equivalent capability.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def _gather_1d(row_bcast, idx):
@@ -62,11 +63,20 @@ def packed_rank_sample(tbl, gx, gy):
     c0 = x0.astype(jnp.int32)
     r0 = y0.astype(jnp.int32)
 
-    rows = gx.shape[0] if gx.ndim == 2 else None
-    if rows is None or rows % 8:
+    # The lane gathers are row-independent, so any (..., 128) block
+    # flattens to (8m, 128) planes — the grid kernel hands the tape 3D
+    # (rows, yblock, 128) blocks, the point kernel 2D planes.
+    shape = c0.shape
+    if shape[-1] != 128 or int(np.prod(shape[:-1])) % 8:
         raise ValueError(
-            f"packed_rank_sample wants (8m, 128)-shaped planes, got {gx.shape}"
+            f"packed_rank_sample wants (..., 128) blocks with 8m rows, "
+            f"got {gx.shape}"
         )
+    c0 = c0.reshape(-1, 128)
+    r0 = r0.reshape(-1, 128)
+    fx = fx.reshape(-1, 128)
+    fy = fy.reshape(-1, 128)
+    rows = c0.shape[0]
 
     def chunk(sl):
         shape = (8, 128)
@@ -82,7 +92,9 @@ def packed_rank_sample(tbl, gx, gy):
         return acc
 
     if rows == 8:
-        return chunk(slice(None))
-    return jnp.concatenate(
-        [chunk(slice(i, i + 8)) for i in range(0, rows, 8)], axis=0
-    )
+        out = chunk(slice(None))
+    else:
+        out = jnp.concatenate(
+            [chunk(slice(i, i + 8)) for i in range(0, rows, 8)], axis=0
+        )
+    return out.reshape(shape)

@@ -573,12 +573,23 @@ def _letter_component(c, font, letter: str, transform, index: int):
     # the baked field (within the bake's near-surface tolerance, ~5e-3
     # letter units — an order below typical export cell sizes); pass
     # BatchEvaluator(..., use_pallas=False) for exact-brush exports.
+    # Which field an export rode is recorded in
+    # ExportReport.stats["sdf_field"] ("pallas-baked" here), and
+    # tests/test_logo.py::test_logo_export_baked_vs_exact gates the
+    # baked-path mesh against the exact brush at mesh level.
     table = _bake_letter_tables(segments, bits)
     table_name = f"logo_{index}_{letter}"
     letter_fn.__kernel_prelude__ = {
         table_name: lambda arrays, _t=table: jnp.asarray(_t)
     }
     letter_fn.__kernel_twin__ = _make_letter_twin(table_name)
+    # The twin is an APPROXIMATION (unlike Design1/Design2's exact twins):
+    # declare its near-surface tolerance in brush units so consumers can
+    # see — and report — when an evaluation rode the baked field
+    # (BatchEvaluator.sdf_field / ExportReport.stats["sdf_field"]).  The
+    # bound is the gate test_kernel_twin_matches_brush enforces in the
+    # march-visible band (tests/test_logo.py).
+    letter_fn.__twin_approx__ = 0.02
     _register_letter_interval(letter_fn, _curve_samples_np(segments))
 
     brush = c.define_brush(letter_fn, name=f"letter_{letter}")
