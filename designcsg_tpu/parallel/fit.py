@@ -69,6 +69,35 @@ class FitHarness:
     step_fn: Callable
     loss_fn: Callable
     target_fn: Callable
+    #: ``multi_step_fn(state, targets, camposes, rgts, upps, fwds) ->
+    #: (state, loss)`` — one optimizer update against the SUM of the loss
+    #: over a leading view axis (targets and camera vectors stacked
+    #: [V, ...]).  Multi-view constraints restore the identifiability a
+    #: single silhouette lacks (tests/test_pose.py: a rotated ellipsoid
+    #: can reproduce one view, not three).
+    multi_step_fn: Optional[Callable] = None
+
+    def stack_views(self, views):
+        """Stack per-view (target, campos, rgt, upp, fwd) tuples along a
+        leading axis for :attr:`multi_step_fn`, targets pre-sharded (view
+        axis replicated, pixel rows over the mesh)."""
+        import numpy as np
+
+        targets = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[v[0] for v in views]
+        )
+        if self.mesh is not None:
+            rows = NamedSharding(
+                self.mesh, P(None, tuple(self.mesh.axis_names))
+            )
+            targets = jax.tree_util.tree_map(
+                lambda t: jax.device_put(t, rows), targets
+            )
+        cams = [
+            jnp.asarray(np.stack([np.asarray(v[i]) for v in views]))
+            for i in range(1, 5)
+        ]
+        return (targets,) + tuple(cams)
 
     def init(self, params) -> FitState:
         params = jax.tree_util.tree_map(jnp.asarray, params)
@@ -236,6 +265,30 @@ def make_fit_harness(
         params = optax.apply_updates(state.params, updates)
         return FitState(params, opt_state, state.step + 1), loss
 
+    def multi_loss_fn(params, targets, camposes, rgts, upps, fwds):
+        # Sum over the leading view axis with lax.scan: one compiled march
+        # body serves every view (V is small; unrolling would V-plicate the
+        # program), and the per-view losses/gradients accumulate exactly as
+        # the math says — grad distributes over the sum.
+        def body(acc, view):
+            tgt, cp, rg, up, fw = view
+            return acc + loss_fn(params, tgt, cp, rg, up, fw), None
+
+        total, _ = jax.lax.scan(
+            body, jnp.float32(0.0), (targets, camposes, rgts, upps, fwds)
+        )
+        return total
+
+    multi_value_and_grad = jax.value_and_grad(multi_loss_fn)
+
+    def multi_step_fn(state: FitState, targets, camposes, rgts, upps, fwds):
+        loss, grads = multi_value_and_grad(
+            state.params, targets, camposes, rgts, upps, fwds
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return FitState(params, opt_state, state.step + 1), loss
+
     def target_fn(arrays, campos, rgt, upp, fwd):
         o_proj = _project(campos, rgt, upp, fwd)
         r_proj = _project(dirs, rgt, upp, fwd)
@@ -260,9 +313,19 @@ def make_fit_harness(
             in_shardings=(repl, target_sharding, repl, repl, repl, repl),
             out_shardings=repl,
         )
+        vrows = NamedSharding(mesh, P(None, tuple(mesh.axis_names)))
+        vtarget_sharding = (
+            (vrows, vrows) if loss == "geometric" else vrows
+        )
+        multi_step_jit = jax.jit(
+            multi_step_fn,
+            in_shardings=(repl, vtarget_sharding, repl, repl, repl, repl),
+            out_shardings=(repl, repl),
+        )
     else:
         step_jit = jax.jit(step_fn)
         loss_jit = jax.jit(loss_fn)
+        multi_step_jit = jax.jit(multi_step_fn)
 
     return FitHarness(
         scene=scene,
@@ -273,6 +336,7 @@ def make_fit_harness(
         step_fn=step_jit,
         loss_fn=loss_jit,
         target_fn=jax.jit(target_fn),
+        multi_step_fn=multi_step_jit,
     )
 
 
