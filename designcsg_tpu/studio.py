@@ -448,9 +448,19 @@ PAGE_HTML = """<!doctype html>
  #tabs { display:flex; gap:2px; padding:4px 8px 0; }
  .tab { padding:4px 12px; background:#1d2026; border-radius:4px 4px 0 0; cursor:pointer; }
  .tab.active { background:#22262e; color:#fff; }
- textarea { flex:1; background:#22262e; color:#e8eaf0; border:none; outline:none;
-            font:13px/1.5 ui-monospace, monospace; padding:10px; resize:none;
+ /* Editor = transparent textarea stacked on a highlighted <pre> twin
+    (identical font metrics), the CDN-free equivalent of the reference
+    shell's wxStyledTextCtrl Python lexer (DesignCSG.cpp:403-420). */
+ #edstack { flex:1; position:relative; min-height:0; background:#22262e; }
+ #edstack textarea, #edstack pre { position:absolute; inset:0; margin:0;
+            border:none; outline:none; overflow:auto;
+            font:13px/1.5 ui-monospace, monospace; padding:10px;
             white-space:pre; tab-size:4; }
+ textarea { background:transparent; color:transparent; caret-color:#e8eaf0;
+            resize:none; z-index:2; }
+ #hl { color:#e8eaf0; z-index:1; pointer-events:none; }
+ #hl .k { color:#6fb3ff; } #hl .s { color:#a5c261; } #hl .c { color:#7d8799; }
+ #hl .n { color:#d19a66; } #hl .d { color:#c678dd; } #hl .f { color:#e5c07b; }
  #view { display:flex; flex-direction:column; align-items:center; padding:10px;
          border-left:1px solid #2a2e36; }
  #viewport { width:640px; height:480px; background:#000; cursor:grab;
@@ -481,7 +491,10 @@ PAGE_HTML = """<!doctype html>
   <div class="tab active" id="tab-design" onclick="setTab('design')">design</div>
   <div class="tab" id="tab-library" onclick="setTab('library')">designlibrary.py</div>
  </div>
- <textarea id="editor" spellcheck="false"></textarea>
+ <div id="edstack">
+  <pre id="hl" aria-hidden="true"><code id="hlcode"></code></pre>
+  <textarea id="editor" spellcheck="false"></textarea>
+ </div>
 </div>
 <div id="view">
  <img id="viewport" draggable="false" alt="viewport">
@@ -491,10 +504,34 @@ PAGE_HTML = """<!doctype html>
 <script>
 let current = null, tab = 'design', texts = {design:'', library:''}, libLoaded = false;
 const $ = id => document.getElementById(id);
+// Python highlighter: one alternation pass, escape-as-emitted.  Order
+// matters (comments/strings before keywords).  A regex LITERAL, not
+// new RegExp(string): string escapes would decode once as JS string
+// syntax and turn \b into a backspace character.  Groups: 1 comment,
+// 2 string, 3 decorator, 4 keyword, 5 number.
+const PY_RE = /(#[^\\n]*)|("{3}[\\s\\S]*?"{3}|'{3}[\\s\\S]*?'{3}|"(?:[^"\\\\\\n]|\\\\.)*"|'(?:[^'\\\\\\n]|\\\\.)*')|(^[ \\t]*@[\\w.]+)|\\b(def|class|return|if|elif|else|for|while|import|from|as|with|lambda|try|except|finally|raise|pass|break|continue|in|is|not|and|or|None|True|False|global|nonlocal|yield|assert|del|async|await)\\b|\\b(\\d+\\.?\\d*(?:[eE][+-]?\\d+)?)\\b/gm;
+const esc = s => s.replace(/&/g,'&amp;').replace(/</g,'&lt;').replace(/>/g,'&gt;');
+function highlight(src){
+  let out = '', last = 0, m;
+  PY_RE.lastIndex = 0;
+  while ((m = PY_RE.exec(src)) !== null){
+    out += esc(src.slice(last, m.index));
+    const cls = m[1]!==undefined?'c':m[2]!==undefined?'s':m[3]!==undefined?'d':
+                m[4]!==undefined?'k':'n';
+    out += '<span class="'+cls+'">'+esc(m[0])+'</span>';
+    last = m.index + m[0].length;
+  }
+  // trailing newline needs a filler so the <pre> keeps the last line's height
+  return out + esc(src.slice(last)) + '\\n';
+}
+function rehl(){ $('hlcode').innerHTML = highlight($('editor').value); syncScroll(); }
+function syncScroll(){ const t=$('editor'), h=$('hl');
+  h.scrollTop=t.scrollTop; h.scrollLeft=t.scrollLeft; }
+function setEditor(v){ $('editor').value = v; rehl(); }
 function setTab(t){ texts[tab] = $('editor').value; tab = t;
   $('tab-design').classList.toggle('active', t==='design');
   $('tab-library').classList.toggle('active', t==='library');
-  $('editor').value = texts[t]; }
+  setEditor(texts[t]); }
 const TOKEN = '__TOKEN__';
 async function api(path, body){
   const r = await fetch(path, body===undefined?{}:{method:'POST',
@@ -510,11 +547,11 @@ async function refreshList(){
 async function loadLibrary(){
   const l = await api('/api/design?name=designlibrary');
   texts.library = l.text; libLoaded = true;
-  if (tab==='library') $('editor').value = texts.library; }
+  if (tab==='library') setEditor(texts.library); }
 async function openDesign(){
   current = $('designs').value; if(!current) return;
   const d = await api('/api/design?name='+encodeURIComponent(current));
-  texts.design = d.text; $('editor').value = texts[tab];
+  texts.design = d.text; setEditor(texts[tab]);
   status(current + ' opened'); }
 async function newDesign(){
   const n = $('newname').value.trim(); if(!n) return;
@@ -554,6 +591,9 @@ async function doExport(){
     else { clearInterval(poll); status('export '+s.state); refresh(); }
   }, 500); }
 function status(t){ $('status').textContent = t; }
+$('editor').addEventListener('input', rehl);
+$('editor').addEventListener('scroll', syncScroll);
+rehl();
 let drag = null;
 $('viewport').addEventListener('mousedown', e=>{ drag=[e.clientX,e.clientY]; });
 window.addEventListener('mouseup', async e=>{

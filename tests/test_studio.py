@@ -300,3 +300,43 @@ def test_studio_mutating_routes_require_post(server):
     assert status == 405
     status, _, _ = c.call("GET", "/api/run")
     assert status == 405
+
+
+def test_studio_editor_syntax_highlighting(server):
+    """The editor ships a CDN-free Python highlighter (the reference shell
+    embeds wxStyledTextCtrl with a Python lexer, DesignCSG.cpp:403-420):
+    the page carries the overlay <pre> twin and a regex literal that
+    classifies comments/strings/decorators/keywords/numbers.  The pattern
+    uses only syntax shared by JS and Python regexes, so we compile and
+    exercise the SERVED pattern here — a regression of the string-escape
+    double-decode bug (\\b arriving as backspace) fails this test."""
+    import re
+
+    client = Client(server)
+    status, _, page = client.get("/")
+    assert status == 200
+    page = page.decode() if isinstance(page, bytes) else page
+    assert 'id="hl"' in page and 'id="hlcode"' in page
+    assert "function highlight(" in page
+    m = re.search(r"const PY_RE = (/.*/)gm;", page)
+    assert m, "highlighter regex literal missing from the served page"
+    rx = re.compile(m.group(1)[1:-1], re.M)
+    src = (
+        'def f(x):\n    """doc"""\n    # comment\n'
+        "    return x + 3.5e2 or None\n@deco\nclass A: pass\n"
+    )
+    kinds = {1: "comment", 2: "string", 3: "deco", 4: "kw", 5: "num"}
+    got = {(kinds[mm.lastindex], mm.group(0)) for mm in rx.finditer(src)}
+    expect = {
+        ("kw", "def"),
+        ("string", '"""doc"""'),
+        ("comment", "# comment"),
+        ("kw", "return"),
+        ("num", "3.5e2"),
+        ("kw", "or"),
+        ("kw", "None"),
+        ("deco", "@deco"),
+        ("kw", "class"),
+        ("kw", "pass"),
+    }
+    assert not (expect - got), expect - got
