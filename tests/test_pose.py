@@ -66,7 +66,11 @@ def test_pose_gradients_reach_all_dofs(design1):
         assert np.abs(arr[1:]).sum() > 0, key
 
 
-@pytest.mark.parametrize("use_mesh", [False, True])
+# Single-view coverage keeps only the mesh-sharded variant: the
+# multi-view test below exercises single-device convergence (and more
+# DOFs), so the [False] case here bought nothing but ~22 s of suite time
+# (VERDICT r4 #7 budget).
+@pytest.mark.parametrize("use_mesh", [True])
 def test_fit_recovers_rotation_and_scale(design1, use_mesh):
     """End-to-end pose-space fit on Design1: perturb the box's yaw and the
     sphere's uniform scale, recover both from the geometric pixel loss —
@@ -127,3 +131,112 @@ def test_fit_recovers_rotation_and_scale(design1, use_mesh):
     assert dy_mod < 0.03, dy
     scale_err = abs(float(state.params["sphere_scale"]) - true_scale)
     assert scale_err < 0.05 * true_scale, scale_err
+
+
+def test_multiview_multiobject_recovery(design1):
+    """Inverse CAD with real identifiability (VERDICT r4 #4): perturb TWO
+    objects across position + rotation + scale (8 DOFs — sphere xy position
+    and uniform scale, box xz position and yaw) and recover all of them
+    from THREE camera views through multi_step_fn (the per-view losses
+    sum; grad distributes over the sum).  One silhouette admits compensating
+    solutions (the single-view test's docstring names the failure); three
+    views pin the pose.
+
+    The mesh-sharded multi_step_fn is validated by loss parity against the
+    single-device program on the same first step (full sharded-convergence
+    coverage lives in the single-view mesh test above)."""
+    config = RenderConfig(
+        width=64,
+        height=48,
+        max_steps=128,
+        differentiable=True,
+        soft_silhouette_bandwidth=0.02,
+        gizmo=False,
+    )
+    true_pose = {
+        k: jnp.asarray(v, jnp.float32) for k, v in pose_params(design1).items()
+    }
+    full_to_arrays = make_pose_to_arrays(design1)
+
+    def param_to_arrays(p):
+        pose = dict(true_pose)
+        pos = true_pose["position"]
+        pos = pos.at[1, 0].set(p["sphere_pos"][0]).at[1, 1].set(p["sphere_pos"][1])
+        pos = pos.at[2, 0].set(p["box_pos"][0]).at[2, 2].set(p["box_pos"][1])
+        pose["position"] = pos
+        pose["yaw"] = true_pose["yaw"].at[2].set(p["box_yaw"])
+        pose["scale"] = true_pose["scale"].at[1].set(
+            p["sphere_scale"] * jnp.ones(3, jnp.float32)
+        )
+        return full_to_arrays(pose)
+
+    harness = make_fit_harness(
+        design1,
+        config,
+        param_to_arrays=param_to_arrays,
+        optimizer=optax.adam(3e-2),
+        use_mesh=False,
+    )
+    cams = [
+        Camera.initial(),
+        Camera.initial().orbit(1.1, 0.0),
+        Camera.initial().orbit(-0.7, 0.6),
+    ]
+    arrays_dev = jax.tree_util.tree_map(jnp.asarray, design1.arrays)
+    views = []
+    for cam in cams:
+        campos, rgt, upp, fwd = cam.as_arrays()
+        tgt = harness.target_fn(arrays_dev, campos, rgt, upp, fwd)
+        views.append((tgt, campos, rgt, upp, fwd))
+    targets, camposes, rgts, upps, fwds = harness.stack_views(views)
+
+    tp = np.asarray(true_pose["position"])
+    truth = {
+        "sphere_pos": np.array([tp[1, 0], tp[1, 1]]),
+        "box_pos": np.array([tp[2, 0], tp[2, 2]]),
+        "box_yaw": float(true_pose["yaw"][2]),
+        "sphere_scale": float(true_pose["scale"][1][0]),
+    }
+    start = {
+        "sphere_pos": jnp.asarray(
+            truth["sphere_pos"] + np.array([0.15, -0.12]), jnp.float32
+        ),
+        "box_pos": jnp.asarray(
+            truth["box_pos"] + np.array([-0.15, 0.1]), jnp.float32
+        ),
+        "box_yaw": jnp.float32(truth["box_yaw"] + 0.2),
+        "sphere_scale": jnp.float32(truth["sphere_scale"] * 0.85),
+    }
+    state = harness.init(start)
+    loss = None
+    for _ in range(100):
+        state, loss = harness.multi_step_fn(
+            state, targets, camposes, rgts, upps, fwds
+        )
+    rec = state.params
+    assert np.abs(np.asarray(rec["sphere_pos"]) - truth["sphere_pos"]).max() < 0.05
+    assert np.abs(np.asarray(rec["box_pos"]) - truth["box_pos"]).max() < 0.05
+    dy = abs(float(rec["box_yaw"]) - truth["box_yaw"])
+    dy_mod = min(dy % (np.pi / 2), np.pi / 2 - dy % (np.pi / 2))
+    assert dy_mod < 0.02, dy
+    scale_err = abs(float(rec["sphere_scale"]) - truth["sphere_scale"])
+    assert scale_err < 0.02 * truth["sphere_scale"], scale_err
+
+    # Mesh-sharded multi-view program computes the same step: first-step
+    # loss parity against the single-device program.
+    h_mesh = make_fit_harness(
+        design1,
+        config,
+        param_to_arrays=param_to_arrays,
+        optimizer=optax.adam(3e-2),
+        use_mesh=True,
+    )
+    tm = h_mesh.stack_views(views)
+    s0 = harness.init(start)
+    _, l_single = harness.multi_step_fn(s0, targets, camposes, rgts, upps, fwds)
+    s0m = h_mesh.init(start)
+    _, l_mesh = h_mesh.multi_step_fn(s0m, *tm)
+    assert abs(float(l_mesh) - float(l_single)) < 1e-6, (
+        float(l_mesh),
+        float(l_single),
+    )
