@@ -304,8 +304,16 @@ class BatchEvaluator:
         replaces steps*2 host<->device exchanges)."""
         v = np.asarray(vertices, dtype=np.float32)
         n = v.shape[0]
+        if n == 0:
+            return v
         self.sdf_eval_count += int(steps) * n * (1 + self._normal_eval_cost)
-        pad_to = max(32768, 1 << int(np.ceil(np.log2(max(n, 1)))))
+        # Two small buckets + pow2 beyond: bounds distinct jit shapes like
+        # the chunk-tail buckets, without making a 3k-vertex mesh pay a
+        # 32768-row refine (CPU tests; expensive exact tapes).
+        if n <= 4096:
+            pad_to = 4096
+        else:
+            pad_to = max(32768, 1 << int(np.ceil(np.log2(n))))
         key = (pad_to, int(steps), float(step_scale))
         if key not in self._refine_cache:
             sdf_fn, normal_fn = self._sdf_raw, self._normal_raw

@@ -115,6 +115,13 @@ def make_pallas_point_eval(
             out_specs=plane,
             out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
             interpret=interpret,
+            # Deep twin tapes (Logo: 3 letters x rank-32 gather chains on
+            # (256, 128) planes) need more scratch than Mosaic's default
+            # 16 MB scoped-vmem budget — the Logo export's refine loop OOMed
+            # at 17.7 MB on v5e (128 MB VMEM physical).
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
         )(*_bank_inputs(arrays, scene), x, y, z)
         return out.reshape(total)[:n]
 
@@ -153,6 +160,9 @@ def make_twin_point_eval(scene: CompiledScene, gizmo: bool = False):
         inputs = _bank_inputs(arrays, scene)
         ad = inputs[4]
         extras = dict(zip(names, inputs[5:]))
+        # Trace-time marker for twins that must compose differently under
+        # plain XLA vs Mosaic (e.g. packed_rank_sample's gather form).
+        extras["__xla_tape__"] = True
         ctx = EvalContext(ad=ad, extras=extras)
         bank = array_bank_reader(arrays)
         out = tape_eval(x, y, z, bank, ctx)
@@ -260,6 +270,11 @@ def make_grid_eval(
             ),
             out_shape=jax.ShapeDtypeStruct((nz_pad, ny_pad, nx_pad), jnp.float32),
             interpret=interpret,
+            # Same scoped-vmem headroom as the point kernel: Logo's twin
+            # tape on a (16, 32, 128) block overruns the 16 MB default.
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
         )(scalars, *_bank_inputs(arrays, scene))
         return out[:slab, :ny, :nx]
 

@@ -42,7 +42,7 @@ def _gather_1d(row_bcast, idx):
     return jnp.take_along_axis(row_bcast, idx, axis=1)
 
 
-def packed_rank_sample(tbl, gx, gy):
+def packed_rank_sample(tbl, gx, gy, chunked: bool = True):
     """Rank-factored field sampling, value+slope form: 2 lane gathers per
     axis per term with the interpolation as a single fma.
 
@@ -50,7 +50,14 @@ def packed_rank_sample(tbl, gx, gy):
     ``UA``, x-factor forward-difference slopes ``US`` (``US[:, c] =
     UA[:, c+1] - UA[:, c]``), y-factor values ``VA`` and slopes ``VS``.
     Evaluates ``sum_k (UA_k + fx*US_k)(gx0) * (VA_k + fy*VS_k)(gy0)`` —
-    identical to per-axis linear interpolation of the factors."""
+    identical to per-axis linear interpolation of the factors.
+
+    ``chunked=True`` (kernel default) issues the gathers per (8, 128)
+    vreg — Mosaic's ``tpu.dynamic_gather`` only works within one vreg
+    along the gather dim.  Plain-XLA consumers (make_twin_point_eval)
+    pass ``chunked=False``: XLA's gather has no vreg constraint, and the
+    per-8-row Python loop would unroll tens of thousands of gather ops
+    into one jaxpr on big point batches (measured: a 12 GB trace)."""
     K = tbl.shape[0] // 4
     ua, us = tbl[0:K], tbl[K : 2 * K]
     va, vs = tbl[2 * K : 3 * K], tbl[3 * K : 4 * K]
@@ -77,6 +84,14 @@ def packed_rank_sample(tbl, gx, gy):
     fx = fx.reshape(-1, 128)
     fy = fy.reshape(-1, 128)
     rows = c0.shape[0]
+
+    if not chunked:
+        acc = jnp.zeros((rows, 128), tbl.dtype)
+        for k in range(K):
+            uk = jnp.take(ua[k], c0) + fx * jnp.take(us[k], c0)
+            vk = jnp.take(va[k], r0) + fy * jnp.take(vs[k], r0)
+            acc = acc + uk * vk
+        return acc.reshape(shape)
 
     def chunk(sl):
         shape = (8, 128)

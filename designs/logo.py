@@ -390,7 +390,15 @@ def _make_letter_twin(table_name: str):
         x, y, z = 2.0 * a, 2.0 * b, 2.0 * c
         gx = (x + BAKE_L) * GS
         gy = (y + BAKE_L) * GS
-        bs = packed_rank_sample(ctx.extras[table_name], gx, gy)
+        bs = packed_rank_sample(
+            ctx.extras[table_name],
+            gx,
+            gy,
+            # Plain-XLA tape composition (make_twin_point_eval) sets this
+            # trace-time flag: XLA takes one full-batch gather; Mosaic
+            # needs the per-vreg chunked form.
+            chunked=not ctx.extras.get("__xla_tape__", False),
+        )
         # Beyond the bake domain the clamped sample is stale; the true
         # sample distance is at least the distance to the domain rectangle
         # (all Bezier samples lie inside it), a bound that grows linearly

@@ -193,34 +193,40 @@ def test_pallas_render_parity_interpret(logo):
 def test_logo_export_baked_vs_exact(logo, tmp_path):
     """The one approximation the framework applies silently (VERDICT r4
     missing #1): on TPU, Logo exports auto-ride the baked rank-32 letter
-    field.  Export both ways at a modest grid (baked = interpret-mode
-    Pallas twins, the same field the TPU path evaluates; exact = the jnp
-    tape, the reference's always-exact k2 semantics, k2.cl:47-144) and
-    gate the baked-path mesh against the exact brush at MESH level:
+    field.  Export both ways at a modest grid (baked = the twin field the
+    TPU Pallas path evaluates, composed in XLA; exact = the jnp tape, the
+    reference's always-exact k2 semantics, k2.cl:47-144) and gate the
+    baked-path mesh against the exact brush at MESH level:
 
     (a) every refined baked-path vertex sits within 2x the declared twin
-        tolerance of the exact zero set,
-    (b) bidirectional vertex deviation between the meshes stays below the
-        extraction cell size,
+        tolerance of the EXACT zero set, and symmetrically every exact
+        vertex within 2x of the BAKED zero set (field-based: immune to the
+        lattice-sampling noise a vertex-to-vertex distance carries),
+    (b) vertex-set deviation stays at lattice scale (sanity bound),
     (c) the report says which field each export rode.
 
-    The baked evaluator rides ``twin_xla`` — the component tape composed
-    in plain XLA — which computes the identical field the TPU Pallas path
-    evaluates (asserted below against the interpret-mode kernel on a
-    sample batch; full interpret-mode extraction takes minutes on CPU)."""
+    The twin-XLA field is asserted identical to the interpret-mode Pallas
+    kernel on a sample batch (same tape, two compilations; full
+    interpret-mode extraction takes minutes on CPU)."""
     from designcsg_tpu.compiler import ExportConfig
     from designcsg_tpu.evaluator import BatchEvaluator
     from designcsg_tpu.export.pipeline import export_mesh
     from designcsg_tpu.ops.interpreter import make_primary_sdf
 
+    # Logo's plates sit at world radius ~3.1 (the compiler's 5x world
+    # scale, kept for reference parity): span the whole solid.  32^3 keeps
+    # the exact-tape export affordable on CPU; the plates are ~1.4 cells
+    # thick at this grid and extract cleanly (face-count assert below).
+    half = 3.5
+    res = 32
     cfg = ExportConfig(
-        bounding_box_half_diameter=0.75,
-        grid_level=6,
-        minimum_octree_level=6,
-        maximum_octree_level=6,  # min==max -> uniform active strategy
-        gradient_descent_steps=12,
+        bounding_box_half_diameter=half,
+        grid_level=5,
+        minimum_octree_level=5,
+        maximum_octree_level=5,  # min==max -> uniform active strategy
+        gradient_descent_steps=4,
     )
-    cell = 2 * 0.75 / 64
+    cell = 2 * half / res
 
     ev_exact = BatchEvaluator(logo, use_pallas=False)
     mesh_exact, rep_exact = export_mesh(
@@ -237,10 +243,7 @@ def test_logo_export_baked_vs_exact(logo, tmp_path):
     from designcsg_tpu.ops.pallas import make_pallas_point_eval
 
     rng = np.random.default_rng(3)
-    sample = np.zeros((2048, 3), np.float32)
-    sample[:, 0] = rng.uniform(-0.7, 0.7, 2048)
-    sample[:, 1] = rng.uniform(-0.7, 0.7, 2048)
-    sample[:, 2] = rng.uniform(0.5, 0.75, 2048)
+    sample = rng.uniform(-3.5, 3.5, (2048, 3)).astype(np.float32)
     via_kernel = np.asarray(
         make_pallas_point_eval(logo, interpret=True)(
             jnp.asarray(sample), ev_baked._device_arrays
@@ -256,25 +259,32 @@ def test_logo_export_baked_vs_exact(logo, tmp_path):
     assert tol == pytest.approx(0.02)
 
     assert mesh_exact.num_faces > 500 and mesh_baked.num_faces > 500
+    # same surface topology at lattice scale: face counts agree closely
+    assert abs(mesh_exact.num_faces - mesh_baked.num_faces) < 0.05 * mesh_exact.num_faces
 
-    # (a) baked-path vertices lie on the exact zero set within 2x the
-    # declared near-surface tolerance
+    # (a) field-based, both directions
     sdf = make_primary_sdf(logo)
-    v = jnp.asarray(np.asarray(mesh_baked.vertices, np.float32))
-    resid = np.abs(np.asarray(sdf(v, logo.arrays)))
-    assert resid.max() < 2 * tol, resid.max()
+    vb32 = jnp.asarray(np.asarray(mesh_baked.vertices, np.float32))
+    resid_b = np.abs(np.asarray(sdf(vb32, logo.arrays)))
+    assert resid_b.max() < 2 * tol, resid_b.max()
+    resid_e = np.abs(
+        ev_baked.eval_sdf_at_points(np.asarray(mesh_exact.vertices, np.float32))
+    )
+    assert resid_e.max() < 2 * tol, resid_e.max()
 
-    # (b) mesh-level deviation below the extraction cell size, both ways
-    def directed_max(a, b):
-        # max over a of distance to nearest b vertex, chunked
-        worst = 0.0
+    # (b) vertex-set deviation sanity: bulk far below a cell, tail below
+    # ~1.5 cells (a vertex can sit ON the other mesh's surface but a full
+    # edge away from its nearest vertex).
+    def directed(a, b):
         bb = np.asarray(b, np.float64)
+        out = np.zeros(len(a))
         for s in range(0, len(a), 2048):
             d2 = ((a[s : s + 2048, None, :] - bb[None]) ** 2).sum(-1)
-            worst = max(worst, float(np.sqrt(d2.min(axis=1)).max()))
-        return worst
+            out[s : s + 2048] = np.sqrt(d2.min(axis=1))
+        return out
 
     va = np.asarray(mesh_baked.vertices, np.float64)
     vb = np.asarray(mesh_exact.vertices, np.float64)
-    dev = max(directed_max(va, vb), directed_max(vb, va))
-    assert dev < cell, dev
+    d_all = np.concatenate([directed(va, vb), directed(vb, va)])
+    assert np.percentile(d_all, 99) < 0.5 * cell, np.percentile(d_all, 99)
+    assert d_all.max() < 1.5 * cell, d_all.max()
