@@ -223,13 +223,19 @@ def test_multiview_multiobject_recovery(design1):
     assert scale_err < 0.02 * truth["sphere_scale"], scale_err
 
     # Mesh-sharded multi-view program computes the same step: first-step
-    # loss parity against the single-device program.
+    # loss parity against the single-device program.  A 2-device mesh
+    # suffices for program equivalence (shard_map + psum + the view scan)
+    # and avoids the 8-partition rendezvous starvation that crashed xdist
+    # workers when two mesh programs ran concurrently on this 2-core box;
+    # full 8-device fit convergence is covered by the single-view test.
+    from designcsg_tpu.parallel.mesh import make_mesh
+
     h_mesh = make_fit_harness(
         design1,
         config,
         param_to_arrays=param_to_arrays,
         optimizer=optax.adam(3e-2),
-        use_mesh=True,
+        mesh=make_mesh(2),
     )
     tm = h_mesh.stack_views(views)
     s0 = harness.init(start)
