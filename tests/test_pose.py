@@ -209,7 +209,9 @@ def test_multiview_multiobject_recovery(design1):
     }
     state = harness.init(start)
     loss = None
-    for _ in range(100):
+    # 80 steps: recovery errors at 100 steps were 3-25x inside the gates
+    # (suite-budget trim, VERDICT r4 #7); gates unchanged.
+    for _ in range(80):
         state, loss = harness.multi_step_fn(
             state, targets, camposes, rgts, upps, fwds
         )

@@ -196,7 +196,7 @@ def test_compacted_renderer_matches_plain_logo():
     assert not _has_safe_proxies(designs.get_design("design1"))
     arrays = as_device_arrays(logo.arrays)
     campos, rgt, upp, fwd = (jnp.asarray(a) for a in Camera.initial().as_arrays())
-    cfg = RenderConfig(width=64, height=32, max_steps=96, march_overrelax=1.6)
+    cfg = RenderConfig(width=48, height=24, max_steps=96, march_overrelax=1.6)
     img_c = np.asarray(to_u8(make_compacted_renderer(logo, cfg)(arrays, campos, rgt, upp, fwd)))
     img_p = np.asarray(to_u8(jax.jit(make_renderer(logo, cfg))(arrays, campos, rgt, upp, fwd)))
     hit_c = (img_c < 250).any(axis=-1)
