@@ -291,12 +291,20 @@ def main():
 
         from designcsg_tpu.parallel.fit import make_fit_harness
 
-        for name, reps in (("design1", 10), ("logo", 5)):
+        for name, field, reps in (
+            ("design1", "exact", 10),
+            ("logo", "exact", 5),
+            # fit_field="twin": gradient attachment on the baked letter
+            # fields (hat-weight MXU interpolation) — pose/transform
+            # gradients only, at the twins' declared tolerance.
+            ("logo", "twin", 10),
+        ):
             scf = designs.get_design(name)
             fit_cfg = RenderConfig(
                 differentiable=True,
                 soft_silhouette_bandwidth=0.02,
                 gizmo=False,
+                fit_field=field,
             )
             h = make_fit_harness(
                 scf, fit_cfg, optimizer=optax.adam(1e-2), use_mesh=False
@@ -328,7 +336,7 @@ def main():
                 float(run(state0, target, campos))
                 best = min(best, (time.time() - t0) / reps)
             log(
-                f"{name} fit step (640x480 geometric, fwd+bwd+adam): "
+                f"{name} fit step [{field}] (640x480 geometric, fwd+bwd+adam): "
                 f"{best*1e3:.1f} ms/step -> "
                 f"{fit_cfg.width*fit_cfg.height/best/1e6:.2f} Mrays/s effective"
             )

@@ -38,6 +38,14 @@ class RenderConfig:
     # boundaries): near-miss rays fade in over this SDF bandwidth.  Interior
     # pixel values are unchanged; only boundary pixels and gradients differ.
     soft_silhouette_bandwidth: float = 0.0
+    # SDF field the fit's gradient attachment evaluates (the march itself
+    # rides the kernel twins on TPU regardless): "exact" = the jnp tape,
+    # gradients reach every parameter incl. arbitrary data; "twin" = the
+    # kernel-twin field in plain XLA — for baked-twin scenes (Logo) an
+    # order-of-magnitude cheaper backward at the twins' declared tolerance,
+    # pose/transform gradients only (baked tables are constants).  See
+    # ops.raymarch.make_geometry_renderer.
+    fit_field: str = "exact"
     # Over-relaxed sphere tracing (Keinert et al. 2014): step by
     # march_overrelax * sdf and retract whenever consecutive bounding spheres
     # stop overlapping, which guarantees the same intersections as plain

@@ -86,12 +86,40 @@ def packed_rank_sample(tbl, gx, gy, chunked: bool = True):
     rows = c0.shape[0]
 
     if not chunked:
-        acc = jnp.zeros((rows, 128), tbl.dtype)
-        for k in range(K):
-            uk = jnp.take(ua[k], c0) + fx * jnp.take(us[k], c0)
-            vk = jnp.take(va[k], r0) + fy * jnp.take(vs[k], r0)
-            acc = acc + uk * vk
-        return acc.reshape(shape)
+        # Hat-function interpolation as MXU matmuls instead of gathers:
+        # sum_c max(0, 1-|g-c|) * UA[k, c] == UA[k, c0] + f * US[k, c0]
+        # exactly (two adjacent nonzero weights), but XLA's per-element
+        # gather costs ~8 ns/elem on TPU, which made the jnp.take form
+        # 3.5x SLOWER than the exact tape in the fit's backward; the
+        # 64x extra multiply-adds are free on the MXU.  Also autodiff-
+        # friendly: the hat weights carry the d/dg slope a.e.
+        import jax
+
+        lane = jnp.arange(128, dtype=tbl.dtype)
+        B = 1024  # rows of 128 points per matmul chunk
+
+        def axis_interp(g, val):
+            """g (rows, 128) continuous grid coords, val (K, 128) factors
+            -> (rows*128, K) interpolated factor values."""
+            flat = g.reshape(-1)
+            n = flat.shape[0]
+            pad = (-n) % (B * 128)
+            if pad:
+                flat = jnp.concatenate([flat, jnp.zeros(pad, flat.dtype)])
+            chunks = flat.reshape(-1, B * 128)
+
+            def body(_, gc):
+                W = jnp.maximum(1.0 - jnp.abs(gc[:, None] - lane[None, :]), 0.0)
+                return None, jnp.dot(
+                    W, val.T, precision=jax.lax.Precision.HIGHEST
+                )
+
+            _, out = jax.lax.scan(body, None, chunks)
+            return out.reshape(-1, val.shape[0])[:n]
+
+        ux = axis_interp(c0.astype(tbl.dtype) + fx, ua)
+        vy = axis_interp(r0.astype(tbl.dtype) + fy, va)
+        return jnp.sum(ux * vy, axis=-1).reshape(shape)
 
     def chunk(sl):
         shape = (8, 128)

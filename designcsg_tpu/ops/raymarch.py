@@ -502,23 +502,62 @@ def make_geometry_renderer(scene: CompiledScene, config: Optional[RenderConfig] 
     the classic differentiable-rendering edge problem).  Alpha is the
     closest-approach soft silhouette, carrying the boundary gradients.
     Together they make pixel-loss shape fitting well-posed without edge
-    sampling."""
+    sampling.
+
+    One march serves both outputs: the hit distance AND the closest-
+    approach point come from the same stop_gradient'd march (previously two
+    identical marches ran — the march is the forward's largest fixed cost),
+    with IFT reattachment at the hit and the soft silhouette at the
+    closest approach.
+
+    ``config.fit_field`` selects the SDF field the *gradient attachment*
+    evaluates (the march itself already rides the kernel twins on TPU):
+
+    * ``"exact"`` (default) — the jnp tape; gradients reach every scene
+      parameter including arbitrary data (Logo's curve control points).
+    * ``"twin"`` — the kernel-twin field via plain XLA
+      (ops.pallas.make_twin_point_eval).  For scenes with baked twins
+      (Logo) this cuts the backward's cost by an order of magnitude
+      (the exact letter brush's reverse-mode scan dominates the fit
+      step), at the twins' declared tolerance, and with NO gradient to
+      arbitrary data (baked tables are constants — pose/transform
+      gradients only).  Falls back to exact when the scene has no twins.
+    """
     if config is None:
         config = RenderConfig(differentiable=True, soft_silhouette_bandwidth=0.02)
-    march_ift = make_differentiable_march(scene, config)
     plain_march = make_march(scene, config)
+    field = getattr(config, "fit_field", "exact")
+    if field not in ("exact", "twin"):
+        raise ValueError(f"fit_field must be 'exact' or 'twin', got {field!r}")
     sdf = make_primary_sdf(scene, gizmo=config.gizmo)
+    if field == "twin":
+        from .pallas import supports_scene
+
+        if supports_scene(scene):
+            from .pallas import make_twin_point_eval
+
+            twin_pe = make_twin_point_eval(scene, gizmo=config.gizmo)
+
+            def sdf(p, arrays):  # noqa: F811 — twin field, same signature
+                return twin_pe(p.reshape(-1, 3), arrays).reshape(p.shape[:-1])
+
     bw = config.soft_silhouette_bandwidth or 0.02
     sg = jax.lax.stop_gradient
 
     def render_geom(arrays: SceneArrays, o_proj, r_proj):
-        d = march_ift(o_proj, r_proj, arrays)
-        _, vmin = plain_march(
-            sg(o_proj),
-            sg(r_proj),
-            jax.tree_util.tree_map(sg, arrays),
-            return_closest=True,
+        sg_arrays = jax.tree_util.tree_map(sg, arrays)
+        d0, vmin = plain_march(
+            sg(o_proj), sg(r_proj), sg_arrays, return_closest=True
         )
+        d0 = sg(d0)
+        hit = d0 > 0.0
+        # IFT reattachment (make_differentiable_march's rule, inlined so
+        # the same march feeds both outputs).
+        p = o_proj + d0[..., None] * r_proj
+        f = sdf(p, arrays)
+        _, f_d = jax.jvp(lambda q: sdf(q, sg_arrays), (p,), (r_proj,))
+        denom = jnp.where(jnp.abs(f_d) > 1e-6, f_d, jnp.sign(f_d) * 1e-6 + 1e-12)
+        d = jnp.where(hit, d0 - (f - sg(f)) / sg(denom), -1.0)
         s_min = sdf(sg(vmin), arrays)
         alpha = jax.nn.sigmoid((config.sdf_epsilon - s_min) / bw)
         return d, alpha

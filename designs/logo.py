@@ -405,7 +405,13 @@ def _make_letter_twin(table_name: str):
         # so far-field march steps stay long.
         ex = jnp.maximum(jnp.abs(x) - BAKE_L, 0.0)
         ey = jnp.maximum(jnp.abs(y) - BAKE_L, 0.0)
-        bs = jnp.maximum(bs, jnp.sqrt(ex * ex + ey * ey) - THICKNESS)
+        # The epsilon keeps sqrt differentiable at ex=ey=0 (inside the bake
+        # domain): sqrt'(0) is inf, and inf * the max-branch's zero
+        # cotangent poisons reverse mode with NaN (fit_field="twin").
+        # Value change is < 1e-15 — invisible to f32.
+        bs = jnp.maximum(
+            bs, jnp.sqrt(ex * ex + ey * ey + 1e-30) - THICKNESS
+        )
         box = jnp.maximum(
             jnp.abs(x) - 1.25, jnp.maximum(jnp.abs(y) - 1.25, jnp.abs(z) - 1.25)
         )

@@ -288,3 +288,55 @@ def test_logo_export_baked_vs_exact(logo, tmp_path):
     d_all = np.concatenate([directed(va, vb), directed(vb, va)])
     assert np.percentile(d_all, 99) < 0.5 * cell, np.percentile(d_all, 99)
     assert d_all.max() < 1.5 * cell, d_all.max()
+
+
+def test_fit_field_twin_matches_exact_gradients(logo):
+    """fit_field="twin" (gradient attachment on the baked kernel-twin
+    field — an order of magnitude cheaper backward on TPU) must produce
+    the same fit signal as the exact tape: loss values within the twins'
+    declared tolerance scale and pose-gradient direction agreement.  Twin
+    gradients reach transforms only (baked tables are constants), which is
+    exactly the pose-fit use case."""
+    import dataclasses
+
+    import optax
+
+    from designcsg_tpu.camera import Camera
+    from designcsg_tpu.config import RenderConfig
+    from designcsg_tpu.parallel.fit import make_fit_harness
+
+    base = RenderConfig(
+        width=24,
+        height=24,
+        max_steps=48,
+        differentiable=True,
+        soft_silhouette_bandwidth=0.02,
+        gizmo=False,
+    )
+    campos, rgt, upp, fwd = Camera.initial().as_arrays()
+    grads = {}
+    losses = {}
+    target = None
+    for field in ("exact", "twin"):
+        cfg = dataclasses.replace(base, fit_field=field)
+        h = make_fit_harness(
+            logo, cfg, optimizer=optax.adam(1e-2), use_mesh=False
+        )
+        if target is None:  # both fields fit the SAME exact-rendered target
+            target = h.render_target(logo.arrays, campos, rgt, upp, fwd)
+        start = np.asarray(logo.arrays.position).copy()
+        start[2, 0] += 0.04
+        params = {"position": jnp.asarray(start)}
+        losses[field] = float(
+            h.loss_fn(params, target, campos, rgt, upp, fwd)
+        )
+        g = jax.grad(
+            lambda p: h.loss_fn(p, target, campos, rgt, upp, fwd)
+        )(params)
+        grads[field] = np.asarray(g["position"]).ravel()
+    # same loss landscape at twin-tolerance scale (loose: the absolute
+    # misfit here is tiny, so the twin's ~0.02 field tolerance shows)
+    assert losses["twin"] == pytest.approx(losses["exact"], rel=0.5, abs=1e-4)
+    ge, gt = grads["exact"], grads["twin"]
+    cos = float(ge @ gt / (np.linalg.norm(ge) * np.linalg.norm(gt) + 1e-30))
+    assert cos > 0.9, (cos, losses)
