@@ -77,11 +77,18 @@ def make_pallas_point_eval(
     scene: CompiledScene,
     gizmo: bool = False,
     interpret: bool = False,
+    sub: int = SUB,
 ):
     """Returns ``eval(points f32[N,3], arrays) -> f32[N]``.  N is padded to a
-    tile multiple internally."""
+    tile multiple internally.
+
+    ``sub`` is the tile's sublane rows (default 256 = the measured TPU
+    sweet spot).  Interpret-mode parity tests pass a small value (e.g. 8):
+    interpret cost is proportional to padded tile elements, and a 2 k-point
+    spot check should not pay for a 32 k-point tile."""
+    assert sub % 8 == 0 and sub > 0, sub
     tape_eval = make_component_tape(scene, gizmo=gizmo)
-    tile_points = SUB * LANE
+    tile_points = sub * LANE
 
     def kernel(*refs):
         pos_ref, right_ref, up_ref, fwd_ref, ad_ref, extras, rest = (
@@ -105,9 +112,9 @@ def make_pallas_point_eval(
         x = points[:, 0].reshape(rows, LANE)
         y = points[:, 1].reshape(rows, LANE)
         z = points[:, 2].reshape(rows, LANE)
-        grid = rows // SUB
+        grid = rows // sub
 
-        plane = pl.BlockSpec((SUB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        plane = pl.BlockSpec((sub, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             kernel,
             grid=(grid,),

@@ -245,7 +245,9 @@ def test_logo_export_baked_vs_exact(logo, tmp_path):
     rng = np.random.default_rng(3)
     sample = rng.uniform(-3.5, 3.5, (2048, 3)).astype(np.float32)
     via_kernel = np.asarray(
-        make_pallas_point_eval(logo, interpret=True)(
+        # sub=8: interpret cost scales with the padded tile; the default
+        # 256-row tile made this 2k-point spot check cost ~50 s on CPU.
+        make_pallas_point_eval(logo, interpret=True, sub=8)(
             jnp.asarray(sample), ev_baked._device_arrays
         )
     )
