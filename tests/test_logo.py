@@ -309,8 +309,8 @@ def test_fit_field_twin_matches_exact_gradients(logo):
 
     base = RenderConfig(
         width=24,
-        height=24,
-        max_steps=48,
+        height=16,
+        max_steps=40,
         differentiable=True,
         soft_silhouette_bandwidth=0.02,
         gizmo=False,

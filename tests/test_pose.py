@@ -148,7 +148,7 @@ def test_multiview_multiobject_recovery(design1):
     config = RenderConfig(
         width=64,
         height=48,
-        max_steps=128,
+        max_steps=96,
         differentiable=True,
         soft_silhouette_bandwidth=0.02,
         gizmo=False,
