@@ -44,12 +44,26 @@ class BatchEvaluator:
         self.chunk_size = int(chunk_size)
         if use_pallas is None:
             # Pallas kernels need a TPU backend and kernel-twin brushes.
+            # Scenes whose twins are APPROXIMATE (Logo's baked rank-32
+            # letter fields, marked __twin_approx__) default to the exact
+            # tape: for bulk point batches the XLA tape runs the expensive
+            # brushes on the MXU and is *faster* than the twin kernel
+            # end-to-end (measured r5: Logo adaptive export 12.7 s exact
+            # vs 113 s baked — each evaluator entry point pays a 20-40 s
+            # Mosaic compile for the deep twin tape), so the fast default
+            # and the reference's always-exact k2 semantics coincide.
+            # The baked field remains the *march* engine (per-ray loops
+            # can't batch onto the MXU) and available here explicitly.
             from .ops.pallas import supports_scene
 
             use_pallas = (
                 not twin_xla
                 and jax.default_backend() == "tpu"
                 and supports_scene(scene)
+                and not any(
+                    getattr(fn, "__twin_approx__", None) is not None
+                    for fn in scene.brush_fns
+                )
             )
         self.use_pallas = bool(use_pallas)
         # ``twin_xla`` evaluates the SAME kernel-twin field as the Pallas

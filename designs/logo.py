@@ -581,16 +581,18 @@ def _letter_component(c, font, letter: str, transform, index: int):
     # in-kernel (see _bake_letter_tables).  The bake happens here at build
     # time from the same concrete curve/bitmask data the AD is packed from;
     # an edited design rebuilds the scene and hence re-bakes.  The jnp
-    # brush above stays the exact/differentiable reference: fit gradients
-    # and every off-TPU evaluation use it.  On TPU, BatchEvaluator's
-    # auto-selected Pallas path means exports also extract/refine against
-    # the baked field (within the bake's near-surface tolerance, ~5e-3
-    # letter units — an order below typical export cell sizes); pass
-    # BatchEvaluator(..., use_pallas=False) for exact-brush exports.
+    # brush above stays the exact/differentiable reference: fit gradients,
+    # every off-TPU evaluation, AND (since r5) TPU exports/point batches
+    # use it by default — __twin_approx__ below makes BatchEvaluator's
+    # auto rule prefer the exact tape, which is both the reference's
+    # always-exact k2 semantics and measurably faster for bulk points
+    # (the MXU runs the Bezier-sample matmuls; the twin kernel is a
+    # VPU workaround for the per-ray march, where it stays the engine).
     # Which field an export rode is recorded in
-    # ExportReport.stats["sdf_field"] ("pallas-baked" here), and
+    # ExportReport.stats["sdf_field"], and
     # tests/test_logo.py::test_logo_export_baked_vs_exact gates the
-    # baked-path mesh against the exact brush at mesh level.
+    # baked-path mesh (opt-in use_pallas=True) against the exact brush
+    # at mesh level.
     table = _bake_letter_tables(segments, bits)
     table_name = f"logo_{index}_{letter}"
     letter_fn.__kernel_prelude__ = {
