@@ -342,3 +342,28 @@ def test_fit_field_twin_matches_exact_gradients(logo):
     ge, gt = grads["exact"], grads["twin"]
     cos = float(ge @ gt / (np.linalg.norm(ge) * np.linalg.norm(gt) + 1e-30))
     assert cos > 0.9, (cos, losses)
+
+
+def test_evaluator_auto_rule_prefers_exact_for_approx_twins(logo, monkeypatch):
+    """BatchEvaluator's auto engine rule (r5): on TPU, the Pallas point
+    kernel only for scenes whose kernel twins are EXACT; approximate-twin
+    scenes (Logo) default to the exact tape — the reference's always-exact
+    k2 semantics, and measured faster for bulk points (the MXU runs the
+    Bezier-sample matmuls; the twin point kernel pays per-entry-point
+    Mosaic compiles).  Kernel builders are lazy, so constructing the
+    evaluator under a mocked TPU backend is safe on CPU."""
+    import designs as _designs
+    from designcsg_tpu import evaluator as ev_mod
+    from designcsg_tpu.evaluator import BatchEvaluator
+
+    monkeypatch.setattr(ev_mod.jax, "default_backend", lambda: "tpu")
+    ev_logo = BatchEvaluator(logo)
+    assert not ev_logo.use_pallas
+    assert ev_logo.sdf_field == "tape-exact"
+    ev_d1 = BatchEvaluator(_designs.get_design("design1"))
+    assert ev_d1.use_pallas
+    assert ev_d1.sdf_field == "pallas-exact"
+    # the baked field stays available explicitly
+    ev_opt = BatchEvaluator(logo, use_pallas=True)
+    assert ev_opt.use_pallas and ev_opt.sdf_field == "pallas-baked"
+    assert ev_opt.twin_tolerance == pytest.approx(0.02)
