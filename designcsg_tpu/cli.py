@@ -168,6 +168,14 @@ def cmd_export(args):
         )
     stl = args.stl or (os.path.splitext(args.design)[0].replace("/", "_") + ".stl")
 
+    evaluator = None
+    if args.sdf_field != "auto":
+        from designcsg_tpu.evaluator import BatchEvaluator
+
+        evaluator = BatchEvaluator(
+            scene, use_pallas=(args.sdf_field == "baked")
+        )
+
     monitor = ExportMonitor(out=sys.stdout)
     t0 = time.time()
     mesh, report = export_mesh(
@@ -175,13 +183,15 @@ def cmd_export(args):
         config,
         stl_path=stl,
         ply_path=args.ply,
+        evaluator=evaluator,
         progress=monitor,
         resume_dir=args.resume_dir,
         strategy=args.strategy,
     )
     print(
         f"exported {report.num_triangles} triangles "
-        f"({report.num_vertices} vertices) in {time.time()-t0:.1f}s"
+        f"({report.num_vertices} vertices) in {time.time()-t0:.1f}s "
+        f"(sdf field: {report.stats.get('sdf_field', 'tape-exact')})"
     )
     for stage, secs in report.stage_seconds.items():
         print(f"  {stage:<14s} {secs:7.2f}s")
@@ -224,6 +234,7 @@ def cmd_fit(args):
         differentiable=True,
         soft_silhouette_bandwidth=0.02,
         gizmo=False,
+        fit_field=args.field,
     )
     cam = _camera(args)
     campos, rgt, upp, fwd = cam.as_arrays()
@@ -352,6 +363,14 @@ def main(argv=None):
         default="auto",
     )
     p.add_argument(
+        "--sdf-field",
+        choices=["auto", "exact", "baked"],
+        default="auto",
+        help="SDF field the export evaluates: exact tape (reference k2 "
+        "semantics), the baked kernel-twin field, or the evaluator's "
+        "auto choice (exact for approximate-twin scenes)",
+    )
+    p.add_argument(
         "--histogram",
         action="store_true",
         help="print the per-slab/per-level triangle histogram after export",
@@ -373,6 +392,14 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--orbit", type=float, nargs=2)
     p.add_argument("--zoom", type=float, default=0.0)
+    p.add_argument(
+        "--field",
+        choices=["exact", "twin"],
+        default="exact",
+        help="SDF field for gradient attachment (twin: baked kernel-twin "
+        "field — order-of-magnitude cheaper backward on baked-twin "
+        "scenes, pose/transform gradients only)",
+    )
     p.set_defaults(fn=cmd_fit)
 
     p = sub.add_parser(
