@@ -127,6 +127,19 @@ class BatchEvaluator:
         self._normal = jax.jit(normal)
         self._device_arrays = jax.tree_util.tree_map(jnp.asarray, self.arrays)
         self._refine_cache = {}
+        # Chunk-tail shape buckets (see _chunk_dispatch).  The Pallas path
+        # keeps a SINGLE small bucket: each (entry point x bucket) Pallas
+        # program costs ~20 s of axon AOT load/compile per fresh process
+        # (r5 measurement), while the padding a coarser bucket adds is
+        # ~400 KB of i16 link traffic (~20 ms).  Measured effect on the
+        # Design2 adaptive export's fresh-process time is small (its big
+        # batches rarely hit the 4096 bucket — the cost is per entry
+        # point), but small-batch workloads drop one program per entry
+        # point.  The jnp path keeps the finer 4096 bucket (XLA compiles
+        # cache well; small CPU batches would pay 16x the compute).
+        self._tail_buckets = (
+            (65536,) if self.use_pallas else (4096, 65536)
+        )
         # Honest SDF-eval accounting (ExportReport.sdf_evals): every point
         # that reaches the device through this evaluator is counted; an FD
         # normal costs 6 tape evaluations (k2.cl:149-179), analytic 1.
@@ -156,7 +169,9 @@ class BatchEvaluator:
         ~ 20 ms.  Adaptive export's many per-level sizes hit 3 shapes per
         entry point instead of ~10."""
         n = data.shape[0]
-        buckets = sorted({min(4096, chunk_size), min(65536, chunk_size), chunk_size})
+        buckets = sorted(
+            {min(b, chunk_size) for b in self._tail_buckets} | {chunk_size}
+        )
         cursor = 0
         while cursor < n:
             take = min(chunk_size, n - cursor)
