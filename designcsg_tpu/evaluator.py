@@ -296,6 +296,19 @@ class BatchEvaluator:
                 else self.eval_normal_at_points(pts.reshape(-1, 3))
             )
             return flat.reshape((cells.shape[0], K) + flat.shape[1:])
+        # Pallas path with integer offsets: expand (cells x offsets) on the
+        # HOST and reuse the lattice program.  Each (entry point x shape)
+        # Pallas program costs ~20 s of axon AOT load/compile per fresh
+        # process (r5 measurement) — the two offsets programs this skips
+        # dwarf the K-fold i16 index bytes it ships (a 1M-corner level is
+        # ~6 MB at ~20 MB/s, ~0.3 s).  The jnp path keeps the on-device
+        # expansion (its programs are cheap; link bytes were its bound).
+        if self.use_pallas and np.all(offsets == np.round(offsets)):
+            idx = (cells[:, None, :].astype(np.int64) + offsets[None].astype(np.int64)).reshape(-1, 3)
+            flat = self._run_lattice(which, idx, lo, cellsize, out_dim)
+            return flat.reshape(
+                (cells.shape[0], K) + ((out_dim,) if out_dim != 1 else ())
+            )
         cost = 1 if which == "sdf" else self._normal_eval_cost
         self.sdf_eval_count += cost * K * len(cells)
         okey = (offsets.shape[0],) + tuple(offsets.reshape(-1).tolist())

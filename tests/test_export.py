@@ -145,3 +145,35 @@ def test_auto_strategy_picks_adaptive_when_configured(design1):
     )
     _, report2 = export_mesh(design1, cfg2, autodetect=False, strategy="auto")
     assert "level_triangles" not in report2.stats
+
+
+def test_pallas_corner_offsets_route_through_lattice(design1):
+    """On the Pallas path, integer corner offsets expand on the HOST and
+    reuse the lattice program (r5: each extra Pallas entry point costs
+    ~20 s of axon AOT load per fresh process); values must equal the jnp
+    evaluator's on-device expansion, and fractional offsets must still
+    take the offsets program."""
+    import jax.numpy as jnp  # noqa: F401
+
+    rng = np.random.default_rng(5)
+    cells = rng.integers(0, 60, (500, 3)).astype(np.int16)
+    offs = np.stack(
+        np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"), -1
+    ).reshape(-1, 3)
+    lo, cell = (-5.0, -5.0, -5.0), 10.0 / 64
+    ev_p = BatchEvaluator(design1, use_pallas=True, pallas_interpret=True)
+    ev_j = BatchEvaluator(design1, use_pallas=False)
+    a = ev_p.eval_sdf_at_cell_corners(cells, lo, cell, offs)
+    b = ev_j.eval_sdf_at_cell_corners(cells, lo, cell, offs)
+    assert a.shape == b.shape == (500, 8)
+    np.testing.assert_allclose(a, b, atol=2e-5)
+    # normals (FD) through the same route
+    na = ev_p.eval_normal_at_cell_corners(cells[:64], lo, cell, offs)
+    nb = ev_j.eval_normal_at_cell_corners(cells[:64], lo, cell, offs)
+    assert na.shape == nb.shape == (64, 8, 3)
+    np.testing.assert_allclose(na, nb, atol=5e-4)
+    # fractional offsets: the offsets program, same values either way
+    foffs = offs + 0.5
+    fa = ev_p.eval_sdf_at_cell_corners(cells[:64], lo, cell, foffs)
+    fb = ev_j.eval_sdf_at_cell_corners(cells[:64], lo, cell, foffs)
+    np.testing.assert_allclose(fa, fb, atol=2e-5)
