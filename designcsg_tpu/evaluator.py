@@ -172,6 +172,18 @@ class BatchEvaluator:
         buckets = sorted(
             {min(b, chunk_size) for b in self._tail_buckets} | {chunk_size}
         )
+        # Keep a few chunks in flight: dispatch + copy_to_host_async for
+        # chunk i+1..i+depth before materializing chunk i, so the host link
+        # (the bottleneck at ~25 MB/s per synchronous read, ~55 MB/s with
+        # several copies queued) overlaps both directions with device
+        # compute.  Results land at their own offsets, so order is free.
+        depth = 3
+        pending = []  # (cursor, take, device_result)
+
+        def materialize():
+            c, t, dev = pending.pop(0)
+            out[c : c + t] = np.asarray(dev)[:t]
+
         cursor = 0
         while cursor < n:
             take = min(chunk_size, n - cursor)
@@ -180,9 +192,17 @@ class BatchEvaluator:
                 padded = next(b for b in buckets if b >= take)
                 pad = ((0, padded - take),) + ((0, 0),) * (data.ndim - 1)
                 chunk = np.pad(chunk, pad)
-            result = np.asarray(call(chunk))
-            out[cursor : cursor + take] = result[:take]
+            result = call(chunk)
+            try:
+                result.copy_to_host_async()
+            except AttributeError:  # plain numpy from a host-side call
+                pass
+            pending.append((cursor, take, result))
+            if len(pending) > depth:
+                materialize()
             cursor += take
+        while pending:
+            materialize()
         return out
 
     def _run_chunked(self, fn, points: np.ndarray, out_dim: int) -> np.ndarray:
@@ -245,7 +265,7 @@ class BatchEvaluator:
         out_shape = (n,) if out_dim == 1 else (n, out_dim)
         out = np.empty(out_shape, dtype=np.float32)
         return self._chunk_dispatch(
-            idx.astype(np.int16),
+            idx.astype(np.int16, copy=False),
             self.chunk_size,
             lambda chunk: fn(jnp.asarray(chunk), lo32, cell32, self._device_arrays),
             out,
@@ -304,11 +324,22 @@ class BatchEvaluator:
         # ~6 MB at ~20 MB/s, ~0.3 s).  The jnp path keeps the on-device
         # expansion (its programs are cheap; link bytes were its bound).
         if self.use_pallas and np.all(offsets == np.round(offsets)):
-            idx = (cells[:, None, :].astype(np.int64) + offsets[None].astype(np.int64)).reshape(-1, 3)
-            flat = self._run_lattice(which, idx, lo, cellsize, out_dim)
-            return flat.reshape(
-                (cells.shape[0], K) + ((out_dim,) if out_dim != 1 else ())
-            )
+            off_i = offsets.astype(np.int64)
+            lo_b = (cells.min() if cells.size else 0) + min(off_i.min(), 0)
+            hi_b = (cells.max() if cells.size else 0) + max(off_i.max(), 0)
+            if -32767 <= lo_b and hi_b <= 32766:
+                # Expand (cells x offsets) directly in i16: the int64
+                # intermediate this replaces materialized 24 B/corner on the
+                # host (~230 MB for a 1.2M-cell level wave, ~6 s of numpy on
+                # this host class) for data the device only ever sees as i16.
+                idx = (
+                    cells.astype(np.int16)[:, None, :]
+                    + off_i.astype(np.int16)[None]
+                ).reshape(-1, 3)
+                flat = self._run_lattice(which, idx, lo, cellsize, out_dim)
+                return flat.reshape(
+                    (cells.shape[0], K) + ((out_dim,) if out_dim != 1 else ())
+                )
         cost = 1 if which == "sdf" else self._normal_eval_cost
         self.sdf_eval_count += cost * K * len(cells)
         okey = (offsets.shape[0],) + tuple(offsets.reshape(-1).tolist())
