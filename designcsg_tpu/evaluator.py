@@ -328,17 +328,16 @@ class BatchEvaluator:
             lo_b = (cells.min() if cells.size else 0) + min(off_i.min(), 0)
             hi_b = (cells.max() if cells.size else 0) + max(off_i.max(), 0)
             if -32767 <= lo_b and hi_b <= 32766:
-                # Expand (cells x offsets) directly in i16: the int64
-                # intermediate this replaces materialized 24 B/corner on the
-                # host (~230 MB for a 1.2M-cell level wave, ~6 s of numpy on
-                # this host class) for data the device only ever sees as i16.
-                idx = (
-                    cells.astype(np.int16)[:, None, :]
-                    + off_i.astype(np.int16)[None]
-                ).reshape(-1, 3)
-                flat = self._run_lattice(which, idx, lo, cellsize, out_dim)
-                return flat.reshape(
-                    (cells.shape[0], K) + ((out_dim,) if out_dim != 1 else ())
+                # Ship only the compact cells (6 B each) and expand the
+                # (cells x offsets) cross product ON DEVICE with a tiny
+                # XLA program whose output feeds the SAME lattice Pallas
+                # program (same shape buckets -> no new Pallas entry
+                # point, which would cost ~20 s of axon AOT per fresh
+                # process).  K-fold fewer up-link bytes than host
+                # expansion; the bounds check above guarantees the i16
+                # expansion cannot overflow.
+                return self._run_offsets_device(
+                    which, cells, off_i, lo, cellsize, out_dim
                 )
         cost = 1 if which == "sdf" else self._normal_eval_cost
         self.sdf_eval_count += cost * K * len(cells)
@@ -356,6 +355,195 @@ class BatchEvaluator:
             lambda chunk: fn(jnp.asarray(chunk), lo32, cell32, self._device_arrays),
             out,
         )
+
+    def _expand_fn(self):
+        """jitted (cells i16[C, 3], offs i16[K, 3]) -> i16[C*K, 3] — the
+        on-device (cell x offset) lattice expansion."""
+        key = ("expand_offsets",)
+        if key not in self._refine_cache:
+
+            @jax.jit
+            def run(cells16, offs16):
+                return (cells16[:, None, :] + offs16[None, :, :]).reshape(
+                    -1, 3
+                )
+
+            self._refine_cache[key] = run
+        return self._refine_cache[key]
+
+    def _run_offsets_device(self, which, cells, off_i, lo, cellsize, out_dim):
+        """Integer-offset (cells x offsets) evaluation with the expansion on
+        device: per chunk, upload i16 cells, expand to i16 lattice rows in a
+        small XLA program, and run the shared lattice Pallas program on the
+        standard row buckets.  Results stream back through the same in-flight
+        window as _chunk_dispatch."""
+        K = off_i.shape[0]
+        n = cells.shape[0]
+        cost = 1 if which == "sdf" else self._normal_eval_cost
+        self.sdf_eval_count += cost * K * n
+        out_shape = (n, K) if out_dim == 1 else (n, K, out_dim)
+        out = np.empty(out_shape, dtype=np.float32)
+        if n == 0:
+            return out
+        out_flat = out.reshape((n * K,) + out.shape[2:])
+        cells16 = np.ascontiguousarray(cells.astype(np.int16))
+        offs_dev = jnp.asarray(off_i.astype(np.int16))
+        fn = self._lattice_fn(which)
+        expand = self._expand_fn()
+        lo32 = jnp.asarray(np.asarray(lo, np.float32))
+        cell32 = jnp.float32(cellsize)
+        row_buckets = sorted(
+            {min(b, self.chunk_size) for b in self._tail_buckets}
+            | {self.chunk_size}
+        )
+        cell_chunk = max(1024, self.chunk_size // K)
+        depth = 3
+        pending = []  # (cell_cursor, cell_take, device_result)
+
+        def materialize():
+            c, t, dev = pending.pop(0)
+            out_flat[c * K : (c + t) * K] = np.asarray(dev)[: t * K]
+
+        cursor = 0
+        while cursor < n:
+            take = min(cell_chunk, n - cursor)
+            rows = take * K
+            bucket = next(
+                (b for b in row_buckets if b >= rows and b % K == 0), rows
+            )
+            ctake = bucket // K
+            chunk = cells16[cursor : cursor + take]
+            if ctake != take:
+                chunk = np.pad(chunk, ((0, ctake - take), (0, 0)))
+            idx_dev = expand(jnp.asarray(chunk), offs_dev)
+            dev = fn(idx_dev, lo32, cell32, self._device_arrays)
+            try:
+                dev.copy_to_host_async()
+            except AttributeError:  # pragma: no cover
+                pass
+            pending.append((cursor, take, dev))
+            if len(pending) > depth:
+                materialize()
+            cursor += take
+        while pending:
+            materialize()
+        return out
+
+    def _pack_signs_fn(self, K: int):
+        """jitted (vals f32[C*K], bound f32) -> u8[C, 2]: column 0 packs the
+        per-corner inside bits (bit k set iff vals[c*K+k] < 0), column 1 is
+        the near-band flag (min_k |vals| <= bound)."""
+        key = ("pack_signs", K)
+        if key not in self._refine_cache:
+
+            @jax.jit
+            def run(vals, bound):
+                v = vals.reshape(-1, K)
+                bits = (v < 0.0).astype(jnp.int32)
+                weights = (1 << jnp.arange(K, dtype=jnp.int32))[None, :]
+                signs = jnp.sum(bits * weights, axis=1).astype(jnp.uint8)
+                near = (jnp.min(jnp.abs(v), axis=1) <= bound).astype(
+                    jnp.uint8
+                )
+                return jnp.stack([signs, near], axis=1)
+
+            self._refine_cache[key] = run
+        return self._refine_cache[key]
+
+    def eval_corner_signs_near(
+        self, cells: np.ndarray, lo, cellsize, offsets, near_bound: float
+    ):
+        """(signs u8[N], near bool[N]) for the K<=8 corner offsets: bit k of
+        ``signs[n]`` is set iff sdf at ``lo + cellsize*(cells[n]+offsets[k])``
+        is < 0, and ``near[n]`` iff min_k |sdf| <= near_bound.
+
+        Marching-cubes classification consumes exactly this (corner signs
+        pick the table config, the near band drives octree descent —
+        mesh.hpp:176-183); on the Pallas path the packing runs ON DEVICE so
+        the link carries 2 B/cell instead of 4*K B/cell of f32 corner
+        values.  Elsewhere (CPU, sharded, non-integer offsets) the values
+        are evaluated as usual and packed on host — same semantics."""
+        offsets = np.asarray(offsets)
+        K = offsets.shape[0]
+        if K > 8:
+            raise ValueError(f"sign packing needs K <= 8, got {K}")
+        cells = np.ascontiguousarray(cells)
+        n = cells.shape[0]
+        if n == 0:
+            return np.zeros((0,), np.uint8), np.zeros((0,), bool)
+        integer = bool(np.all(offsets == np.round(offsets)))
+        if self.use_pallas and integer:
+            off_i = offsets.astype(np.int64)
+            lo_b = cells.min() + min(off_i.min(), 0)
+            hi_b = cells.max() + max(off_i.max(), 0)
+            if -32767 <= lo_b and hi_b <= 32766:
+                return self._signs_near_device(
+                    cells, off_i, lo, cellsize, near_bound
+                )
+        vals = self._run_offsets("sdf", cells, lo, cellsize, offsets, 1)
+        inside = vals < 0.0
+        signs = np.zeros((n,), np.uint8)
+        for k in range(K):
+            signs |= inside[:, k].astype(np.uint8) << np.uint8(k)
+        near = np.abs(vals).min(axis=1) <= near_bound
+        return signs, near
+
+    def _signs_near_device(self, cells, off_i, lo, cellsize, near_bound):
+        """Device-fused (expand -> lattice Pallas eval -> sign/near pack)
+        chunk loop; ships i16 cells up and u8[C, 2] down."""
+        K = off_i.shape[0]
+        n = cells.shape[0]
+        self.sdf_eval_count += K * n
+        out = np.empty((n, 2), dtype=np.uint8)
+        cells16 = np.ascontiguousarray(cells.astype(np.int16))
+        offs_dev = jnp.asarray(off_i.astype(np.int16))
+        fn = self._lattice_fn("sdf")
+        expand = self._expand_fn()
+        pack = self._pack_signs_fn(K)
+        lo32 = jnp.asarray(np.asarray(lo, np.float32))
+        cell32 = jnp.float32(cellsize)
+        bound32 = jnp.float32(near_bound)
+        row_buckets = sorted(
+            {min(b, self.chunk_size) for b in self._tail_buckets}
+            | {self.chunk_size}
+        )
+        cell_chunk = max(1024, self.chunk_size // K)
+        depth = 3
+        pending = []
+
+        def materialize():
+            c, t, dev = pending.pop(0)
+            out[c : c + t] = np.asarray(dev)[:t]
+
+        cursor = 0
+        while cursor < n:
+            take = min(cell_chunk, n - cursor)
+            rows = take * K
+            bucket = next(
+                (b for b in row_buckets if b >= rows and b % K == 0), rows
+            )
+            ctake = bucket // K
+            chunk = cells16[cursor : cursor + take]
+            if ctake != take:
+                chunk = np.pad(chunk, ((0, ctake - take), (0, 0)))
+            vals_dev = fn(
+                expand(jnp.asarray(chunk), offs_dev),
+                lo32,
+                cell32,
+                self._device_arrays,
+            )
+            dev = pack(vals_dev, bound32)
+            try:
+                dev.copy_to_host_async()
+            except AttributeError:  # pragma: no cover
+                pass
+            pending.append((cursor, take, dev))
+            if len(pending) > depth:
+                materialize()
+            cursor += take
+        while pending:
+            materialize()
+        return out[:, 0].copy(), out[:, 1].astype(bool)
 
     def eval_sdf_at_cell_corners(
         self, cells: np.ndarray, lo, cellsize, offsets

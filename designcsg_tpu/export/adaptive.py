@@ -279,18 +279,27 @@ def extract_surface_adaptive(
         lt = level_seconds[L] = {}
         t0 = time.time()
 
-        # 1. corner evaluation: ship only the compact CELL indices (i16);
-        # the 8-corner expansion happens on device (the ~20 MB/s host link,
-        # not compute, bounds large adaptive exports — shipping per-corner
-        # points costs 8x the bytes, and deduplicating them costs more host
-        # CPU in np.unique than the re-evaluation it saves on chip).
-        vals = evaluator.eval_sdf_at_cell_corners(cells, lo, cellsize, CORNERS)
+        # 1. corner evaluation: ship only the compact CELL indices (i16) up
+        # and packed per-cell (signs, near) bytes down — the 8-corner
+        # expansion AND the classification reduction happen on device (the
+        # ~20-50 MB/s host link, not compute, bounds large adaptive exports;
+        # classification and emission consume only corner SIGNS, and the
+        # descend test only the near-band bit, so f32 corner values never
+        # need to cross the link at all: 2 B/cell instead of 32).
+        signs, near = evaluator.eval_corner_signs_near(
+            cells, lo, cellsize, CORNERS,
+            np.sqrt(3.0) * cellsize * _CULL_FACTOR,
+        )
+        # Synthetic +-1 corner values: every downstream consumer
+        # (_canonical_offsets, _ambiguous_edges, _emit_cells) reads only
+        # `vals < 0`, which the sign bits reproduce exactly.
+        inside_bits = (signs[:, None] >> np.arange(8, dtype=np.uint8)[None, :]) & 1
+        vals = np.where(inside_bits.astype(bool), np.float32(-1.0), np.float32(1.0))
         lt["corners"] = round(time.time() - t0, 3)
         t0 = time.time()
 
-        # 2. classification.
-        surface = (vals.min(axis=1) < 0.0) & (vals.max(axis=1) >= 0.0)
-        near = np.abs(vals).min(axis=1) <= np.sqrt(3.0) * cellsize * _CULL_FACTOR
+        # 2. classification: mixed corner signs <=> straddles the surface.
+        surface = (signs != 0) & (signs != 255)
 
         if L == max_l:
             emit = surface
