@@ -148,11 +148,13 @@ def test_auto_strategy_picks_adaptive_when_configured(design1):
 
 
 def test_pallas_corner_offsets_route_through_lattice(design1):
-    """On the Pallas path, integer corner offsets expand on the HOST and
-    reuse the lattice program (r5: each extra Pallas entry point costs
-    ~20 s of axon AOT load per fresh process); values must equal the jnp
-    evaluator's on-device expansion, and fractional offsets must still
-    take the offsets program."""
+    """On the Pallas path, integer corner offsets ship compact i16 cells
+    and expand on DEVICE via a small XLA program feeding the shared
+    lattice program (r5: each extra Pallas entry point costs ~20 s of
+    axon AOT load per fresh process, and host expansion cost K-fold
+    up-link bytes); values must equal the jnp evaluator's on-device
+    expansion, and fractional offsets must still take the offsets
+    program."""
     import jax.numpy as jnp  # noqa: F401
 
     rng = np.random.default_rng(5)
@@ -177,3 +179,41 @@ def test_pallas_corner_offsets_route_through_lattice(design1):
     fa = ev_p.eval_sdf_at_cell_corners(cells[:64], lo, cell, foffs)
     fb = ev_j.eval_sdf_at_cell_corners(cells[:64], lo, cell, foffs)
     np.testing.assert_allclose(fa, fb, atol=2e-5)
+
+
+def test_corner_signs_near_pack(design1):
+    """eval_corner_signs_near must reproduce the sign bits and near-band
+    flag of the full corner-value evaluation on BOTH the device-fused
+    Pallas path and the host-packed fallback — the adaptive extractor's
+    classification rides these 2 bytes/cell instead of 32 (signs pick the
+    MC config, near drives descent; mesh.hpp:176-183)."""
+    rng = np.random.default_rng(11)
+    cells = rng.integers(0, 60, (3000, 3)).astype(np.int64)
+    offs = np.stack(
+        np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"), -1
+    ).reshape(-1, 3)
+    lo, cell = (-4.0, -4.0, -4.0), 8.0 / 64
+    bound = np.sqrt(3.0) * cell * 1.1
+    for kwargs in ({}, dict(use_pallas=True, pallas_interpret=True)):
+        ev = BatchEvaluator(design1, **kwargs)
+        signs, near = ev.eval_corner_signs_near(cells, lo, cell, offs, bound)
+        vals = ev.eval_sdf_at_cell_corners(cells, lo, cell, offs)
+        ref_signs = np.zeros(len(cells), np.uint8)
+        for k in range(8):
+            ref_signs |= (vals[:, k] < 0).astype(np.uint8) << np.uint8(k)
+        assert np.array_equal(signs, ref_signs)
+        assert np.array_equal(near, np.abs(vals).min(axis=1) <= bound)
+        # mixed signs <=> the dense classification's straddle test
+        straddle = (vals.min(axis=1) < 0.0) & (vals.max(axis=1) >= 0.0)
+        assert np.array_equal((signs != 0) & (signs != 255), straddle)
+        assert straddle.any() and near.any()
+    # empty input and K > 8 guard
+    ev = BatchEvaluator(design1)
+    s0, n0 = ev.eval_corner_signs_near(
+        np.zeros((0, 3), np.int64), lo, cell, offs, bound
+    )
+    assert s0.shape == (0,) and n0.shape == (0,)
+    with pytest.raises(ValueError):
+        ev.eval_corner_signs_near(
+            cells, lo, cell, np.zeros((9, 3)), bound
+        )
