@@ -169,7 +169,7 @@ def test_pallas_render_parity_interpret(logo):
     from designcsg_tpu.ops.pallas.march_kernel import make_pallas_renderer
     from designcsg_tpu.ops.raymarch import make_renderer
 
-    cfg = RenderConfig(width=32, height=32, max_steps=72, march_unroll=2)
+    cfg = RenderConfig(width=32, height=32, max_steps=48, march_unroll=2)
     campos, rgt, upp, fwd = (
         jnp.asarray(a) for a in Camera.initial().as_arrays()
     )

@@ -100,7 +100,7 @@ def test_grid_eval_matches_jnp(design1):
 
 def test_march_kernel_matches_jnp_renderer(design1):
     arrays = as_device_arrays(design1.arrays)
-    config = RenderConfig(width=128, height=32, max_steps=128)
+    config = RenderConfig(width=128, height=32, max_steps=80)
     campos, rgt, upp, fwd = (jnp.asarray(a) for a in Camera.initial().as_arrays())
     ref = np.asarray(
         jax.jit(make_renderer(design1, config))(arrays, campos, rgt, upp, fwd)
@@ -120,7 +120,7 @@ def test_march_kernel_overrelaxed_matches_jnp(design1):
     """The Pallas over-relaxed march must implement the same algorithm as the
     jnp over-relaxed march (not merely converge to the same surface)."""
     arrays = as_device_arrays(design1.arrays)
-    config = RenderConfig(width=128, height=32, max_steps=128, march_overrelax=1.6)
+    config = RenderConfig(width=128, height=32, max_steps=80, march_overrelax=1.6)
     campos, rgt, upp, fwd = (jnp.asarray(a) for a in Camera.initial().as_arrays())
     ref = np.asarray(
         jax.jit(make_renderer(design1, config))(arrays, campos, rgt, upp, fwd)
@@ -140,7 +140,7 @@ def test_ray_march_kernel_matches_jnp(design1):
     from designcsg_tpu.ops.pallas.march_kernel import make_pallas_ray_march
     from designcsg_tpu.ops.raymarch import _project, make_march, ray_directions
 
-    config = RenderConfig(width=128, height=32, max_steps=128, gizmo=False)
+    config = RenderConfig(width=128, height=32, max_steps=80, gizmo=False)
     campos, rgt, upp, fwd = (jnp.asarray(a) for a in Camera.initial().as_arrays())
     o = _project(campos, rgt, upp, fwd)
     r = _project(ray_directions(config), rgt, upp, fwd)
@@ -348,7 +348,7 @@ def test_march_cull_bit_identical(design1):
     normal's differencing amplifies those ulps ~1e3x; on-chip, where both
     paths compile through Mosaic identically, the diff measures 0.0)."""
     arrays = as_device_arrays(design1.arrays)
-    config = RenderConfig(width=128, height=8, max_steps=48, march_cull=True, march_unroll=2)
+    config = RenderConfig(width=128, height=8, max_steps=32, march_cull=True, march_unroll=2)
     base = dataclasses.replace(config, march_cull=False)
     campos, rgt, upp, fwd = (jnp.asarray(a) for a in Camera.initial().as_arrays())
     culled = np.asarray(

@@ -145,9 +145,12 @@ def test_multiview_multiobject_recovery(design1):
     The mesh-sharded multi_step_fn is validated by loss parity against the
     single-device program on the same first step (full sharded-convergence
     coverage lives in the single-view mesh test above)."""
+    # 48x36: the smallest silhouettes that still pin all 8 DOFs across
+    # three views (suite-budget trim, VERDICT r4 #7; recovery margins
+    # re-validated at this size — gates unchanged).
     config = RenderConfig(
-        width=64,
-        height=48,
+        width=48,
+        height=36,
         max_steps=96,
         differentiable=True,
         soft_silhouette_bandwidth=0.02,
